@@ -1,0 +1,134 @@
+"""Inference CLI — flag surface mirrors the reference
+(ref: inference/inference.py:31-93).
+
+Hermetic example (no SLUE data needed):
+    python -m icl_speech_text_llm_tpu.cli.inference \
+        --dataset_type voxceleb --input_mode speech_only --fewshot_mode text \
+        --num_examples 2 --model_type salmonn-tiny --synthetic \
+        --max_samples 8 --batch_size 4 --results_dir /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from ..data.factory import create_dataset
+from ..data.packing import PackConfig
+from ..inference.engine import GenerationConfig
+from ..inference.runner import InferenceSettings, run_inference, save_final_results
+from ..models.factory import create_model, get_model_from_checkpoint
+from ..registry import DatasetSplit, parse_dataset_types
+from ..utils.tokenization import get_tokenizer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Batched ICL inference (TPU-native)")
+    # reference flag surface (inference/inference.py:31-93)
+    p.add_argument("--dataset_type", type=str, default="voxceleb",
+                   help="dataset name(s), '-' or ',' separated")
+    p.add_argument("--input_mode", type=str, default="speech_only",
+                   choices=["speech_only", "speech_and_text", "text_only"])
+    p.add_argument("--fewshot_mode", type=str, default="text",
+                   choices=["text", "speech", "none"])
+    p.add_argument("--num_examples", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--debug_samples", type=int, default=None,
+                   help="alias of --max_samples (reference smoke flag)")
+    p.add_argument("--split", type=str, default="test",
+                   choices=["train", "validation", "test"])
+    p.add_argument("--model_type", type=str, default="salmonn-tiny")
+    p.add_argument("--peft_model_path", type=str, default=None,
+                   help="trainable-only checkpoint dir to restore")
+    p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument("--run_name", type=str, default="run")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--max_new_tokens", type=int, default=10)
+    p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--randomize_swap", action="store_true")
+    # packing budget (TPU-native additions)
+    p.add_argument("--seq_len", type=int, default=2048)
+    p.add_argument("--text_len", type=int, default=1024)
+    # hermetic data
+    p.add_argument("--synthetic", action="store_true",
+                   help="fabricated schema-correct data instead of disk datasets")
+    p.add_argument("--synthetic_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. 'cpu'); default: auto")
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    dataset_types = parse_dataset_types(args.dataset_type)
+    max_samples = args.max_samples or args.debug_samples
+
+    tok = get_tokenizer(args.tokenizer)
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
+        temperature=args.temperature, top_p=args.top_p,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+    )
+    n_slots = {
+        "speech": args.num_examples + 1,
+        "text": 1,
+        "none": 1,
+    }[args.fewshot_mode]
+    if any(dt.value == "sqa" for dt in dataset_types):
+        n_slots = 2 * (args.num_examples if args.fewshot_mode == "speech" else 0) + 2
+
+    if args.peft_model_path:
+        model = get_model_from_checkpoint(
+            args.peft_model_path, args.model_type, tokenizer=args.tokenizer,
+            seed=args.seed, generation=gen,
+        )
+    else:
+        model = create_model(args.model_type, tokenizer=args.tokenizer,
+                             seed=args.seed, generation=gen)
+    pack_cfg = PackConfig(
+        seq_len=args.seq_len, text_len=args.text_len, max_slots=n_slots,
+        audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,
+    )
+
+    dataset = create_dataset(
+        dataset_types if len(dataset_types) > 1 else dataset_types[0],
+        split=DatasetSplit(args.split),
+        input_mode=args.input_mode,
+        fewshot_mode=args.fewshot_mode,
+        num_examples=0 if args.fewshot_mode == "none" else args.num_examples,
+        randomize_swap=args.randomize_swap,
+        is_training=False,
+        max_samples=max_samples,
+        synthetic=args.synthetic,
+        synthetic_size=args.synthetic_size,
+        seed=args.seed,
+    )
+
+    settings = InferenceSettings(
+        batch_size=args.batch_size,
+        max_new_tokens=args.max_new_tokens,
+        results_dir=args.results_dir,
+        run_name=args.run_name,
+        input_mode=args.input_mode,
+        fewshot_mode=args.fewshot_mode,
+        num_examples=args.num_examples,
+        max_samples=max_samples,
+    )
+    payload = run_inference(model.engine, dataset, pack_cfg, settings)
+    paths = save_final_results(payload, dataset_types, settings)
+    print(paths["metrics"])
+    return paths
+
+
+if __name__ == "__main__":
+    main()

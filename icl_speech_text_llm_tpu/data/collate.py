@@ -1,0 +1,64 @@
+"""Model-specific collation: raw per-sample items → PackedBatch + audio arrays.
+
+Replaces the reference's SalmonProcessor.process_inputs / collate_batch
+(ref: data/model_processors.py:616-681,786-874): mel extraction moves from
+per-item host torch code into one batched jittable call, and exemplar audio is
+packed to a fixed (B, n_slots, ...) block (zero-filled like the reference's
+zero-spectrogram padding, ref :846-849).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.mel import N_SAMPLES
+from ..utils.tokenization import Tokenizer
+from .packing import PackConfig, PackedBatch, PackedSample, pack_batch, shift_labels, tokenize_plan
+from .prompts import PromptPlan
+
+
+@dataclass
+class ICLSample:
+    """One ICL item, host-side: the rendered plan plus raw audio per slot."""
+
+    plan: PromptPlan
+    completion: str
+    #: raw 16 kHz wavs keyed by slot tuple from plan.slots, e.g. ("example", 0)
+    slot_audio: Dict[tuple, np.ndarray]
+    extras: Dict[str, Any] = None
+
+
+def collate_icl_batch(
+    samples: Sequence[ICLSample],
+    tokenizer: Tokenizer,
+    pack_cfg: PackConfig,
+    include_wavs: bool = True,
+) -> PackedBatch:
+    """Build the device batch: packed indices + (B, n_slots, wav) audio block.
+
+    Mel extraction happens on device (ops/mel.log_mel_spectrogram) right before
+    the encoder — the host ships raw wavs only.
+    """
+    packed_samples: List[PackedSample] = []
+    for s in samples:
+        packed_samples.append(
+            tokenize_plan(tokenizer, s.plan, s.completion, extras=s.extras)
+        )
+    batch = pack_batch(packed_samples, pack_cfg)
+
+    B = len(samples)
+    n_slots = pack_cfg.max_slots
+    wavs = np.zeros((B, n_slots, N_SAMPLES), np.float32)
+    for b, s in enumerate(samples):
+        for i, slot in enumerate(s.plan.slots):
+            wav = s.slot_audio.get(slot)
+            if wav is None:
+                continue
+            n = min(len(wav), N_SAMPLES)
+            wavs[b, i, :n] = wav[:n]
+    batch.audio["wavs"] = wavs
+    batch.labels_shifted = shift_labels(batch.labels)
+    return batch

@@ -1,0 +1,175 @@
+"""Batched generation engine: jit-compiled prefill + KV-cached greedy/sampled
+decode.
+
+Replaces the reference's HF ``llama_model.generate(inputs_embeds=...)`` call
+(ref: models/custom_salmon.py:704-720; defaults max_new_tokens=10, greedy —
+SURVEY.md §8 item 5) with a single compiled program:
+
+  1. encode ALL audio clips in one batched encoder call;
+  2. assemble the ICL sequence with one table-gather (PackedBatch indices);
+  3. prefill attention over the prompt (mask derived from per-sample lengths);
+  4. ``lax.scan`` decode loop with per-sample cache append positions (prompts
+     are right-padded, every sample decodes from its own length);
+  5. stop-on-EOS via a done mask (emitted tokens forced to pad after EOS).
+
+Static shapes throughout: one compile per (batch, seq_len, max_new_tokens)
+bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.packing import PackedBatch
+from ..ops.mel import log_mel_spectrogram
+from ..models.llama import (
+    decoder_forward,
+    embed_tokens,
+    init_kv_cache,
+    lm_logits,
+)
+from ..models.salmonn import SalmonnConfig, assemble_sequence, encode_speech
+from ..ops.attention import make_decode_mask, make_prefill_mask
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 10  # reference default (custom_salmon.py:708)
+    do_sample: bool = False
+    temperature: float = 0.8
+    top_p: float = 0.9
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+
+
+def _sample_token(logits: jnp.ndarray, rng, gen: GenerationConfig) -> jnp.ndarray:
+    """(B, V) logits → (B,) token ids."""
+    if not gen.do_sample:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32) / gen.temperature
+    # top-p: sort, mask tail below cumulative p
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < gen.top_p, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    masked = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, masked, axis=-1)
+
+
+def salmonn_generate(
+    cfg: SalmonnConfig,
+    gen: GenerationConfig,
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Packed batch → (B, max_new_tokens) generated token ids.
+
+    ``batch``: text_tokens (B,L_text), gather_idx (B,L_seq), seq_lengths (B,),
+    wavs (B, n_slots, n_samples). Mel extraction runs on-device.
+    Jit this whole function (cfg/gen static).
+    """
+    B = batch["text_tokens"].shape[0]
+    wavs = batch["wavs"]
+    n_slots = wavs.shape[1]
+    dt = cfg.compute_dtype
+
+    flat_wavs = wavs.reshape(B * n_slots, wavs.shape[-1])
+    mels = log_mel_spectrogram(flat_wavs)
+    speech = encode_speech(
+        cfg, params, mels, flat_wavs if cfg.beats is not None else None
+    ).reshape(B, n_slots, -1, cfg.llm.dim)
+
+    seq = assemble_sequence(cfg, params, batch["text_tokens"], speech, batch["gather_idx"])
+    L = seq.shape[1]
+    lengths = batch["seq_lengths"]  # prompt length (completion region excluded)
+    cache_len = L + gen.max_new_tokens
+
+    cache = init_kv_cache(cfg.llm, B, cache_len, dtype=dt)
+    prefill_mask = jnp.concatenate(
+        [make_prefill_mask(lengths, L), jnp.zeros((B, 1, L, cache_len - L), bool)], axis=-1
+    )
+    positions = jnp.broadcast_to(jnp.arange(L), (B, L))
+    lora = params.get("lora")
+    scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
+
+    hidden, cache = decoder_forward(
+        cfg.llm, params["llm"], seq, prefill_mask, positions,
+        cache=cache, lora=lora, lora_scaling=scaling,
+    )
+    # logits at each sample's final prompt position
+    last_hidden = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
+    first_logits = lm_logits(cfg.llm, params["llm"], last_hidden)[:, 0]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, step_rng):
+        cache, tok, done, cur_len = carry
+        emb = embed_tokens(params["llm"], tok[:, None], dtype=dt)
+        mask = make_decode_mask(cur_len + 1, cache_len)
+        hidden, cache = decoder_forward(
+            cfg.llm, params["llm"], emb, mask, cur_len[:, None],
+            cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=scaling,
+        )
+        logits = lm_logits(cfg.llm, params["llm"], hidden)[:, 0]
+        nxt = _sample_token(logits, step_rng, gen)
+        nxt = jnp.where(done, gen.pad_token_id, nxt)
+        done = done | (nxt == gen.eos_token_id)
+        return (cache, nxt, done, cur_len + 1), tok
+
+    tok0 = _sample_token(first_logits, rng, gen)
+    done0 = tok0 == gen.eos_token_id
+    step_rngs = jax.random.split(rng, gen.max_new_tokens)
+    (_, _, _, _), toks = jax.lax.scan(step, (cache, tok0, done0, lengths), step_rngs)
+    return toks.T  # (B, max_new_tokens): tok0 first, then scan outputs
+
+
+class SalmonnEngine:
+    """Host-side wrapper: compile cache per shape bucket, decode to strings.
+
+    API parity with the reference's ``generate_output(samples) -> List[str]``
+    (ref: models/base_model.py:38-50, custom_salmon.py:642-739).
+    """
+
+    def __init__(self, cfg: SalmonnConfig, params, tokenizer, gen: GenerationConfig = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.gen = gen or GenerationConfig(
+            eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id
+        )
+        self._compiled = {}
+
+    def _fn(self, key):
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                partial(salmonn_generate, self.cfg, self.gen)
+            )
+        return self._compiled[key]
+
+    def generate(self, packed: PackedBatch, audio: Dict[str, np.ndarray]) -> List[str]:
+        batch = {
+            "text_tokens": jnp.asarray(packed.text_tokens),
+            "gather_idx": jnp.asarray(packed.gather_idx),
+            "seq_lengths": jnp.asarray(packed.seq_lengths),
+            **{k: jnp.asarray(v) for k, v in audio.items()},
+        }
+        shape_key = tuple(v.shape for v in batch.values())
+        toks = np.asarray(self._fn(shape_key)(self.params, batch))
+        out = []
+        for row in toks:
+            ids = []
+            for t in row:
+                if t == self.gen.eos_token_id:
+                    break
+                ids.append(int(t))
+            out.append(self.tokenizer.decode(ids, skip_special_tokens=True))
+        return out

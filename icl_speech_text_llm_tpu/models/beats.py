@@ -1,0 +1,222 @@
+"""BEATs-style audio encoder, pure JAX.
+
+TPU-native replacement for the reference's BEATs checkpoint encoder
+(ref: models/custom_salmon.py:32,67 — BEATs_iter3_plus_AS2M_finetuned...).
+
+Faithful to the BEATs architecture for future weight conversion:
+kaldi-style 128-bin fbank → (x - 15.41663) / (2 * 6.55582) normalization →
+16×16 conv patch embedding (stride 16) over (time, freq) → linear 512→768 →
+grouped conv relative positional embedding → 12 post-LN transformer layers
+with deep-norm residual scaling → (B, ~1496, 768).
+
+On 30 s audio the output length is 1496; SALMONN pads it to Whisper's 1500
+frames before concatenation (handled by the caller in models/salmonn.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+from .common import dense_init, layer_norm, split_keys
+
+FBANK_MEAN = 15.41663
+FBANK_STD = 6.55582
+
+
+@dataclass(frozen=True)
+class BeatsConfig:
+    n_fbank: int = 128
+    patch: int = 16
+    embed_dim: int = 512
+    dim: int = 768
+    n_heads: int = 12
+    n_layers: int = 12
+    conv_pos: int = 128  # conv positional embedding kernel
+    conv_pos_groups: int = 16
+    mlp_ratio: int = 4
+
+    @property
+    def deep_norm_alpha(self) -> float:
+        return float((2.0 * self.n_layers) ** 0.25)
+
+
+BEATS_CONFIGS: Dict[str, BeatsConfig] = {
+    "iter3-as2m": BeatsConfig(),
+    "tiny-test": BeatsConfig(dim=64, embed_dim=32, n_heads=4, n_layers=2, conv_pos=16,
+                             conv_pos_groups=4),
+}
+
+
+def kaldi_fbank(
+    wav: jnp.ndarray, n_mels: int = 128, frame_length: int = 400, hop: int = 160
+) -> jnp.ndarray:
+    """Kaldi-compatible log-mel fbank (snip_edges, povey window, pre-emphasis).
+
+    wav: (B, n_samples) 16 kHz float32 scaled to int16 range (BEATs convention:
+    waveform * 2**15 before torchaudio.compliance.kaldi.fbank).
+    Returns (B, n_frames, n_mels) with n_frames = (n_samples - 400)//160 + 1.
+    """
+    from ..ops.mel import hertz_to_mel_slaney  # noqa: F401 (mel utils nearby)
+
+    B, n = wav.shape
+    n_frames = (n - frame_length) // hop + 1
+    idx = (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]).astype(np.int32)
+    frames = wav[:, idx]  # (B, T, 400)
+    # kaldi: remove DC offset, pre-emphasis 0.97 (with edge duplication)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+    frames = frames - 0.97 * prev
+    # povey window = hann^0.85 (periodic=False in kaldi: denominator N-1)
+    t = np.arange(frame_length)
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / (frame_length - 1))
+    povey = jnp.asarray((hann**0.85).astype(np.float32))
+    frames = frames * povey
+    # pad to 512-point FFT (kaldi rounds up to pow2)
+    nfft = 512
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, nfft - frame_length)))
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = spec.real**2 + spec.imag**2  # (B, T, 257)
+    fb = jnp.asarray(_htk_mel_bank(nfft // 2 + 1, n_mels))
+    mel = power @ fb
+    return jnp.log(jnp.maximum(mel, 1.1920928955078125e-07))  # kaldi epsilon
+
+
+def _htk_mel_bank(n_freqs: int, n_mels: int, sr: int = 16000) -> np.ndarray:
+    """Kaldi/HTK mel filter bank (no normalization), (n_freqs, n_mels)."""
+    def to_mel(f):
+        return 1127.0 * np.log(1.0 + f / 700.0)
+
+    def to_hz(m):
+        return 700.0 * (np.exp(m / 1127.0) - 1.0)
+
+    low, high = 20.0, sr / 2  # kaldi fbank defaults: low_freq=20
+    mel_pts = np.linspace(to_mel(low), to_mel(high), n_mels + 2)
+    fft_freqs = np.linspace(0, sr / 2, n_freqs)
+    fb = np.zeros((n_freqs, n_mels))
+    for m in range(n_mels):
+        left, center, right = to_hz(mel_pts[m]), to_hz(mel_pts[m + 1]), to_hz(mel_pts[m + 2])
+        up = (fft_freqs - left) / (center - left)
+        down = (right - fft_freqs) / (right - center)
+        fb[:, m] = np.maximum(0, np.minimum(up, down))
+    return fb.astype(np.float32)
+
+
+def _init_layer(key, cfg: BeatsConfig):
+    d = cfg.dim
+    keys = split_keys(key, 6)
+    inner = cfg.mlp_ratio * d
+    return {
+        "attn": {
+            "wq": dense_init(keys[0], d, d), "bq": jnp.zeros((d,)),
+            "wk": dense_init(keys[1], d, d), "bk": jnp.zeros((d,)),
+            "wv": dense_init(keys[2], d, d), "bv": jnp.zeros((d,)),
+            "wo": dense_init(keys[3], d, d), "bo": jnp.zeros((d,)),
+        },
+        "ln_attn": {"w": jnp.ones((d,)), "b": jnp.zeros((d,))},
+        "mlp": {
+            "w1": dense_init(keys[4], d, inner), "b1": jnp.zeros((inner,)),
+            "w2": dense_init(keys[5], inner, d), "b2": jnp.zeros((d,)),
+        },
+        "ln_mlp": {"w": jnp.ones((d,)), "b": jnp.zeros((d,))},
+    }
+
+
+def init_beats(key, cfg: BeatsConfig) -> Dict[str, Any]:
+    kp, kproj, kpos, kl = jax.random.split(key, 4)
+    layers = [_init_layer(k, cfg) for k in split_keys(kl, cfg.n_layers)]
+    return {
+        "patch_embed": {
+            "w": dense_init(kp, cfg.patch * cfg.patch, cfg.embed_dim).reshape(
+                cfg.patch, cfg.patch, 1, cfg.embed_dim
+            ),
+            "b": jnp.zeros((cfg.embed_dim,)),
+        },
+        "post_proj": {
+            "w": dense_init(kproj, cfg.embed_dim, cfg.dim),
+            "b": jnp.zeros((cfg.dim,)),
+        },
+        "ln_pre": {"w": jnp.ones((cfg.dim,)), "b": jnp.zeros((cfg.dim,))},
+        "conv_pos": {
+            "w": dense_init(
+                kpos, cfg.conv_pos * (cfg.dim // cfg.conv_pos_groups), cfg.dim
+            ).reshape(cfg.conv_pos, cfg.dim // cfg.conv_pos_groups, cfg.dim),
+            "b": jnp.zeros((cfg.dim,)),
+        },
+        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers),
+    }
+
+
+def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
+    """Grouped conv positional embedding (wav2vec2-style)."""
+    pad = cfg.conv_pos // 2
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(1,),
+        padding=((pad, pad),),
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        feature_group_count=cfg.conv_pos_groups,
+    )
+    out = out + p["b"].astype(x.dtype)
+    if cfg.conv_pos % 2 == 0:
+        out = out[:, :-1]
+    return jax.nn.gelu(out, approximate=False)
+
+
+def _layer_forward(cfg: BeatsConfig, layer, x):
+    B, T, d = x.shape
+    hd = d // cfg.n_heads
+    a = layer["attn"]
+    dt = x.dtype
+    q = (x @ a["wq"].astype(dt) + a["bq"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
+    k = (x @ a["wk"].astype(dt) + a["bk"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
+    v = (x @ a["wv"].astype(dt) + a["bv"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
+    out = dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
+    out = out @ a["wo"].astype(dt) + a["bo"].astype(dt)
+    # deep-norm: residual scaled by alpha before post-LN
+    x = layer_norm(x * cfg.deep_norm_alpha + out, layer["ln_attn"]["w"], layer["ln_attn"]["b"])
+    m = layer["mlp"]
+    h = jax.nn.gelu(x @ m["w1"].astype(dt) + m["b1"].astype(dt), approximate=False)
+    h = h @ m["w2"].astype(dt) + m["b2"].astype(dt)
+    return layer_norm(x * cfg.deep_norm_alpha + h, layer["ln_mlp"]["w"], layer["ln_mlp"]["b"])
+
+
+def beats_encode(
+    cfg: BeatsConfig,
+    params: Dict[str, Any],
+    wav: jnp.ndarray,  # (B, n_samples) float32 in [-1, 1]
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Raw wav → (B, n_tokens, dim) BEATs features.
+
+    n_tokens = (n_frames // 16) * (128 // 16); 30 s → 1496.
+    """
+    fb = kaldi_fbank(wav * (2**15))  # BEATs scales wav to int16 range
+    fb = (fb - FBANK_MEAN) / (2 * FBANK_STD)
+    B, T, F = fb.shape
+    tp, fp = T // cfg.patch, F // cfg.patch
+    x = fb[:, : tp * cfg.patch].reshape(B, tp * cfg.patch, F, 1).astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, params["patch_embed"]["w"].astype(dtype),
+        window_strides=(cfg.patch, cfg.patch),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["b"].astype(dtype)  # (B, tp, fp, embed_dim)
+    x = x.reshape(B, tp * fp, cfg.embed_dim)
+    x = x @ params["post_proj"]["w"].astype(dtype) + params["post_proj"]["b"].astype(dtype)
+    x = layer_norm(x, params["ln_pre"]["w"], params["ln_pre"]["b"])
+    x = x + _conv_pos_embed(cfg, params["conv_pos"], x)
+
+    def body(x, layer):
+        return _layer_forward(cfg, layer, x), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x

@@ -1,0 +1,329 @@
+"""Decoder-only transformer family: LLaMA/Vicuna and Qwen2 in one config space.
+
+TPU-native replacement for the reference's HF Vicuna-13B (inside external
+SALMONN; ref: models/custom_salmon.py:630-636,704-720) and Qwen2 LLM
+(ref: models/custom_qwen.py:180-234):
+
+- layers stored STACKED (leading axis = layer) and executed with ``lax.scan``
+  → one compiled layer body regardless of depth, fast compiles, and a single
+  sharding spec for all layers;
+- grouped-query attention + RoPE, softmax in f32, bf16-friendly throughout;
+- KV cache threaded through scan for O(1) decode steps;
+- LoRA as a parallel parameter subtree applied additively inside the matmuls
+  (ref PEFT usage: models/custom_qwen.py:69-81), so base weights stay frozen
+  and checkpoints store only the adapter (ref: utils/training_utils.py:29-75);
+- optional rematerialization of each layer for memory-bound training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, repeat_kv
+from .common import apply_rope, dense_init, embed_init, rms_norm, rope_frequencies, split_keys
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    hidden_dim: int
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    qkv_bias: bool = False  # True for Qwen2
+    tie_embeddings: bool = False
+    max_seq_len: int = 4096
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.dim // self.n_heads
+
+
+# Canonical small configs. Real-size entries mirror the reference backbones.
+DECODER_CONFIGS: Dict[str, DecoderConfig] = {
+    # Vicuna-13B (ref backbone: models/custom_salmon.py:30)
+    "vicuna-13b": DecoderConfig(
+        vocab_size=32000, dim=5120, n_layers=40, n_heads=40, n_kv_heads=40,
+        hidden_dim=13824,
+    ),
+    # Vicuna-7B variant for SALMONN-7B configs
+    "vicuna-7b": DecoderConfig(
+        vocab_size=32000, dim=4096, n_layers=32, n_heads=32, n_kv_heads=32,
+        hidden_dim=11008,
+    ),
+    # Qwen2-7B LLM half of Qwen2-Audio (ref: models/custom_qwen.py:51)
+    "qwen2-7b": DecoderConfig(
+        vocab_size=156032, dim=3584, n_layers=28, n_heads=28, n_kv_heads=4,
+        hidden_dim=18944, qkv_bias=True, rope_theta=1_000_000.0,
+    ),
+    # Qwen2-0.5B for the CPU smoke benchmark config (BASELINE.md config #1)
+    "qwen2-0.5b": DecoderConfig(
+        vocab_size=151936, dim=896, n_layers=24, n_heads=14, n_kv_heads=2,
+        hidden_dim=4864, qkv_bias=True, rope_theta=1_000_000.0, tie_embeddings=True,
+    ),
+    # Tiny test model (TinyTokenizer vocab)
+    "tiny": DecoderConfig(
+        vocab_size=36764, dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+        hidden_dim=352, max_seq_len=2048,
+    ),
+}
+
+
+def _init_layer(key, cfg: DecoderConfig):
+    hd = cfg.hd
+    keys = split_keys(key, 7)
+    layer = {
+        "attn": {
+            "wq": dense_init(keys[0], cfg.dim, cfg.n_heads * hd),
+            "wk": dense_init(keys[1], cfg.dim, cfg.n_kv_heads * hd),
+            "wv": dense_init(keys[2], cfg.dim, cfg.n_kv_heads * hd),
+            "wo": dense_init(keys[3], cfg.n_heads * hd, cfg.dim),
+        },
+        "mlp": {
+            "w_gate": dense_init(keys[4], cfg.dim, cfg.hidden_dim),
+            "w_up": dense_init(keys[5], cfg.dim, cfg.hidden_dim),
+            "w_down": dense_init(keys[6], cfg.hidden_dim, cfg.dim),
+        },
+        "ln_attn": jnp.ones((cfg.dim,), jnp.float32),
+        "ln_mlp": jnp.ones((cfg.dim,), jnp.float32),
+    }
+    if cfg.qkv_bias:
+        layer["attn"]["bq"] = jnp.zeros((cfg.n_heads * hd,), jnp.float32)
+        layer["attn"]["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), jnp.float32)
+        layer["attn"]["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), jnp.float32)
+    return layer
+
+
+def init_decoder(key, cfg: DecoderConfig) -> Dict[str, Any]:
+    """Random-init decoder params; per-layer trees stacked along axis 0."""
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    layer_keys = split_keys(k_layers, cfg.n_layers)
+    layers = [_init_layer(k, cfg) for k in layer_keys]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    params = {
+        "tok_embed": embed_init(k_embed, cfg.vocab_size, cfg.dim),
+        "layers": stacked,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense_init(k_head, cfg.dim, cfg.vocab_size)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# LoRA
+# ---------------------------------------------------------------------------
+
+LORA_TARGET_SHAPES = {
+    "wq": ("dim", "q_out"),
+    "wk": ("dim", "kv_out"),
+    "wv": ("dim", "kv_out"),
+    "wo": ("q_out", "dim"),
+    "w_gate": ("dim", "hidden"),
+    "w_up": ("dim", "hidden"),
+    "w_down": ("hidden", "dim"),
+}
+
+
+@dataclass(frozen=True)
+class LoraConfig:
+    rank: int = 8
+    alpha: float = 16.0
+    dropout: float = 0.05  # applied at train time by the training step
+    targets: Tuple[str, ...] = ("wq", "wv")  # SALMONN default q/v projections
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+
+def _target_dims(cfg: DecoderConfig, name: str) -> Tuple[int, int]:
+    hd = cfg.hd
+    dims = {
+        "dim": cfg.dim,
+        "q_out": cfg.n_heads * hd,
+        "kv_out": cfg.n_kv_heads * hd,
+        "hidden": cfg.hidden_dim,
+    }
+    d_in, d_out = LORA_TARGET_SHAPES[name]
+    return dims[d_in], dims[d_out]
+
+
+def init_lora(key, cfg: DecoderConfig, lora_cfg: LoraConfig) -> Dict[str, Any]:
+    """LoRA adapter tree: per target, stacked (n_layers, ·) A (down) and B (up).
+
+    A ~ N(0, 1/r) fan-in, B = 0 → adapter starts as identity (PEFT convention).
+    """
+    tree: Dict[str, Any] = {}
+    keys = split_keys(key, len(lora_cfg.targets))
+    for k, name in zip(keys, lora_cfg.targets):
+        d_in, d_out = _target_dims(cfg, name)
+        a = jax.random.normal(k, (cfg.n_layers, d_in, lora_cfg.rank)) * (d_in**-0.5)
+        b = jnp.zeros((cfg.n_layers, lora_cfg.rank, d_out))
+        tree[name] = {"a": a.astype(jnp.float32), "b": b}
+    return tree
+
+
+def _proj(x, w, lora_layer, name: str, scaling: float, bias=None):
+    """x @ w (+ bias) with optional additive LoRA delta."""
+    y = x @ w.astype(x.dtype)
+    if lora_layer is not None and name in lora_layer:
+        a = lora_layer[name]["a"].astype(x.dtype)
+        b = lora_layer[name]["b"].astype(x.dtype)
+        y = y + ((x @ a) @ b) * scaling
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_forward(
+    cfg: DecoderConfig,
+    layer,
+    lora_layer,
+    lora_scaling: float,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    positions: jnp.ndarray,
+    inv_freq: jnp.ndarray,
+    cache_kv,  # None or (k, v): (B, Hkv, T_cache, hd)
+    cache_positions,  # None or (B,) write index per sample
+):
+    B, T, _ = x.shape
+    hd = cfg.hd
+    attn, mlp = layer["attn"], layer["mlp"]
+
+    h = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
+    q = _proj(h, attn["wq"], lora_layer, "wq", lora_scaling, attn.get("bq"))
+    k = _proj(h, attn["wk"], lora_layer, "wk", lora_scaling, attn.get("bk"))
+    v = _proj(h, attn["wv"], lora_layer, "wv", lora_scaling, attn.get("bv"))
+
+    q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+
+    new_cache_kv = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        if cache_positions is None:
+            # prefill: write [0:T) for every sample
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+        else:
+            # decode: per-sample write position (right-padded prompts differ
+            # in length, so each sample appends at its own index)
+            def write(c, kv, pos):
+                # c: (Hkv, T_cache, hd); kv: (Hkv, T, hd)
+                return jax.lax.dynamic_update_slice(c, kv.astype(c.dtype), (0, pos, 0))
+
+            ck = jax.vmap(write)(ck, k, cache_positions)
+            cv = jax.vmap(write)(cv, v, cache_positions)
+        new_cache_kv = (ck, cv)
+        k_att, v_att = ck, cv
+    else:
+        k_att, v_att = k, v
+
+    k_att = repeat_kv(k_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
+    v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
+    out = dot_product_attention(q, k_att, v_att, mask)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_heads * hd)
+    x = x + _proj(out, attn["wo"], lora_layer, "wo", lora_scaling)
+
+    h = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
+    gate = _proj(h, mlp["w_gate"], lora_layer, "w_gate", lora_scaling)
+    up = _proj(h, mlp["w_up"], lora_layer, "w_up", lora_scaling)
+    x = x + _proj(jax.nn.silu(gate) * up, mlp["w_down"], lora_layer, "w_down", lora_scaling)
+    return x, new_cache_kv
+
+
+def init_kv_cache(
+    cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    hd = cfg.hd
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, hd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def decoder_forward(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    inputs_embeds: jnp.ndarray,  # (B, T, dim)
+    mask: jnp.ndarray,  # (B, 1, T, Tk) boolean
+    positions: jnp.ndarray,  # (B, T) rope positions
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cache_positions: Optional[jnp.ndarray] = None,  # (B,) decode write index
+    lora: Optional[Dict[str, Any]] = None,
+    lora_scaling: float = 1.0,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Run the decoder stack. Returns (hidden_states, updated_cache)."""
+    inv_freq = jnp.asarray(rope_frequencies(cfg.hd, cfg.rope_theta))
+    x = inputs_embeds
+    use_lora = lora is not None
+    use_cache = cache is not None
+    # Every scanned input needs a leading n_layers axis; absent subtrees get a
+    # dummy so the scan signature stays uniform.
+    dummy = jnp.zeros((cfg.n_layers, 1))
+    scanned = (
+        params["layers"],
+        lora if use_lora else dummy,
+        (cache["k"], cache["v"]) if use_cache else dummy,
+    )
+
+    layer_fn = _layer_forward
+    if remat:
+        layer_fn = jax.checkpoint(_layer_forward, static_argnums=(0,))
+
+    def scan_body(x, sc):
+        layer, lo, ckv = sc
+        x, new_kv = layer_fn(
+            cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
+            positions, inv_freq, ckv if use_cache else None, cache_positions,
+        )
+        return x, (new_kv if use_cache else jnp.zeros(()))
+
+    x, new_kvs = jax.lax.scan(scan_body, x, scanned)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+
+    new_cache = {"k": new_kvs[0], "v": new_kvs[1]} if use_cache else None
+    return x, new_cache
+
+
+def embed_tokens(params: Dict[str, Any], token_ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Token ids → embeddings (the reference's PEFT-nested embed_tokens access,
+    models/custom_salmon.py:190-192, becomes a plain lookup)."""
+    return params["tok_embed"].astype(dtype)[token_ids]
+
+
+def lm_logits(cfg: DecoderConfig, params: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
+    w = params["tok_embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return hidden @ w.astype(hidden.dtype)
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100
+) -> jnp.ndarray:
+    """Mean CE over positions where labels != ignore_index (HF convention,
+    ref loss path: models/custom_salmon.py:630-636). Labels are pre-shifted by
+    the caller (next-token targets aligned to logits)."""
+    mask = labels != ignore_index
+    safe_labels = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)

@@ -1,0 +1,114 @@
+"""Checkpointing: trainable-only Orbax checkpoints + JSON sidecars.
+
+Reference conventions preserved (ref: utils/training_utils.py:29-101,
+models/symbolAdapter/training/unified_trainer.py:448-507):
+- only TRAINABLE params are saved (LoRA/Q-Former adapters — tiny vs the full
+  model), with optimizer state, step, epoch and loss;
+- config and symbol mappings ride along as a JSON sidecar;
+- loads are tolerant: missing keys keep their current values (the reference's
+  ``strict=False`` semantics, SURVEY.md §8 item 10).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    trainable: Dict[str, Any],
+    opt_state: Any = None,
+    step: int = 0,
+    epoch: int = 0,
+    loss: float = 0.0,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write a trainable-only checkpoint; returns the checkpoint path."""
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    state = {"trainable": _tree_to_numpy(trainable), "step": int(step)}
+    if opt_state is not None:
+        state["opt_state"] = _tree_to_numpy(opt_state)
+
+    if _HAVE_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        target = os.path.join(path, "state")
+        if os.path.exists(target):
+            import shutil
+
+            shutil.rmtree(target)
+        ckptr.save(target, state)
+        ckptr.wait_until_finished()
+    else:  # minimal fallback
+        np.save(os.path.join(path, "state.npy"), state, allow_pickle=True)
+
+    sidecar = {
+        "epoch": epoch,
+        "step": int(step),
+        "loss": float(loss),
+        "metadata": metadata or {},
+    }
+    with open(os.path.join(path, "train_meta.json"), "w") as f:
+        json.dump(sidecar, f, indent=2)
+
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(trainable))
+    logger.info(f"Saved trainable-only checkpoint ({n_params:,} params) to {path}")
+    return path
+
+
+def load_checkpoint(
+    ckpt_dir: str, template: Optional[Dict[str, Any]] = None
+) -> Dict[str, Any]:
+    """Restore a checkpoint dir → {"trainable", "opt_state"?, "step", meta...}."""
+    path = os.path.abspath(ckpt_dir)
+    target = os.path.join(path, "state")
+    if _HAVE_ORBAX and os.path.exists(target):
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(target)
+    elif os.path.exists(os.path.join(path, "state.npy")):
+        state = np.load(os.path.join(path, "state.npy"), allow_pickle=True).item()
+    else:
+        raise FileNotFoundError(f"No checkpoint found under {path}")
+
+    meta_path = os.path.join(path, "train_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            state["meta"] = json.load(f)
+    return state
+
+
+def apply_trainable(
+    params: Dict[str, Any], trainable: Dict[str, Any], strict: bool = False
+) -> Dict[str, Any]:
+    """Merge restored trainable subtrees into a full param tree.
+
+    Non-strict (default): unknown keys are skipped with a warning — the
+    reference's strict=False partial-load behavior."""
+    out = dict(params)
+    for key, sub in trainable.items():
+        if key in out:
+            out[key] = sub
+        elif strict:
+            raise KeyError(f"Checkpoint key {key} not in model params")
+        else:
+            logger.warning(f"Skipping unknown checkpoint subtree: {key}")
+    return out

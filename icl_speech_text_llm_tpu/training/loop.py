@@ -1,0 +1,156 @@
+"""Training loop: epochs over packed batches, periodic validation, checkpoints.
+
+Rebuild of the reference's train/train.py main loop (ref :412-744):
+- per-step metrics via PerformanceTracker (examples/s, loss);
+- validation = batched generation + per-dataset metrics on a capped set
+  (ref validate(): train/train.py:664-744, val cap 200);
+- trainable-only checkpoints every ``save_every`` epochs + resume.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.collate import collate_icl_batch
+from ..data.packing import PackConfig
+from ..evaluation import clean_prediction, evaluate_predictions
+from ..registry import DatasetType
+from ..utils.perf import PerformanceTracker
+from .checkpoint import load_checkpoint, save_checkpoint
+from .step import TrainState, merge_params
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainSettings:
+    num_epochs: int = 3  # ref default (train/train.py:57)
+    batch_size: int = 2
+    save_every: int = 1
+    eval_every: int = 0  # steps; 0 = once per epoch (ref quirk §8.4 dropped)
+    output_dir: str = "checkpoints"
+    val_max_samples: int = 200  # ref cap (configs/training_configs.py:108)
+    resume_from: Optional[str] = None
+    val_batch_size: int = 4
+
+
+def _device_batch(batch):
+    return {
+        "text_tokens": jnp.asarray(batch.text_tokens),
+        "gather_idx": jnp.asarray(batch.gather_idx),
+        "seq_mask": jnp.asarray(batch.seq_mask),
+        "shifted_labels": jnp.asarray(batch.labels_shifted),
+        "wavs": jnp.asarray(batch.audio["wavs"]),
+    }
+
+
+def iter_batches(dataset, batch_size: int, tokenizer, pack_cfg: PackConfig):
+    """Fixed-size batches; tail batch padded by repeating the last sample."""
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        samples = [dataset[i] for i in idxs]
+        while len(samples) < batch_size:
+            samples.append(samples[-1])
+        yield collate_icl_batch(samples, tokenizer, pack_cfg)
+
+
+def validate(
+    engine,
+    val_dataset,
+    pack_cfg: PackConfig,
+    dataset_types: List[DatasetType],
+    settings: TrainSettings,
+) -> Dict[str, Any]:
+    """Generation-based validation with per-dataset metrics
+    (ref: train/train.py:664-744)."""
+    results = []
+    n = min(len(val_dataset), settings.val_max_samples)
+    bs = settings.val_batch_size
+    for start in range(0, n, bs):
+        samples = [val_dataset[i] for i in range(start, min(start + bs, n))]
+        real = len(samples)
+        while len(samples) < bs:
+            samples.append(samples[-1])
+        batch = collate_icl_batch(samples, engine.tokenizer, pack_cfg)
+        preds = engine.generate(batch, batch.audio)[:real]
+        for s, p in zip(samples[:real], preds):
+            results.append(
+                {
+                    "text": s.extras.get("text", ""),
+                    "true_label": s.completion,
+                    "predicted_label": p,
+                    "dataset_type": s.extras.get("dataset_type", ""),
+                }
+            )
+    metrics = {}
+    for dt in dataset_types:
+        subset = [r for r in results if r["dataset_type"] == dt.value]
+        if subset:
+            metrics[dt.value] = evaluate_predictions(subset, dt)
+    return metrics
+
+
+def train(
+    model,  # SalmonnModel
+    state: TrainState,
+    frozen: Dict[str, Any],
+    step_fn: Callable,
+    train_dataset,
+    pack_cfg: PackConfig,
+    settings: TrainSettings,
+    val_dataset=None,
+    dataset_types: Optional[List[DatasetType]] = None,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> TrainState:
+    """Run the full training schedule; returns the final state."""
+    tracker = PerformanceTracker(log_interval=10)
+    start_epoch = 0
+    if settings.resume_from:
+        ck = load_checkpoint(settings.resume_from)
+        state = state.replace(trainable=ck["trainable"],
+                              step=jnp.asarray(ck.get("step", 0), jnp.int32))
+        start_epoch = int(ck.get("meta", {}).get("epoch", 0))
+        logger.info(f"Resumed from {settings.resume_from} at epoch {start_epoch}")
+
+    last_loss = float("nan")
+    for epoch in range(start_epoch, settings.num_epochs):
+        for batch in iter_batches(train_dataset, settings.batch_size,
+                                  model.tokenizer, pack_cfg):
+            state, metrics = step_fn(state, frozen, _device_batch(batch))
+            last_loss = float(metrics["loss"])
+            tracker.update(loss=last_loss, examples=batch.batch_size)
+        if hasattr(train_dataset, "on_epoch_end"):
+            train_dataset.on_epoch_end()
+
+        if val_dataset is not None and dataset_types:
+            # validation uses the CURRENT adapter weights
+            model.params = merge_params(frozen, state.trainable)
+            model.engine.params = model.params
+            val_metrics = validate(model.engine, val_dataset, pack_cfg,
+                                   dataset_types, settings)
+            logger.info(f"epoch {epoch} validation: "
+                        + ", ".join(f"{k}={_headline(v):.4f}" for k, v in val_metrics.items()))
+
+        if settings.save_every and (epoch + 1) % settings.save_every == 0:
+            path = os.path.join(
+                settings.output_dir, f"epoch_{epoch}_loss_{last_loss:.4f}"
+            )
+            save_checkpoint(path, state.trainable, opt_state=state.opt_state,
+                            step=int(state.step), epoch=epoch + 1, loss=last_loss,
+                            metadata=metadata)
+    return state
+
+
+def _headline(metrics: Dict[str, Any]) -> float:
+    """Headline metric per task (ref: validation.py:292-299)."""
+    for key in ("macro_f1_with_invalid", "macro_f1", "f1_score", "accuracy"):
+        if key in metrics:
+            return float(metrics[key])
+    return 0.0

@@ -1,0 +1,90 @@
+"""Learning-rate schedules.
+
+Optax equivalents of the reference's HF ``get_scheduler`` usage
+(ref: train/train.py:377-385) plus the symbol trainer's custom per-epoch
+warmup-restart cosine LambdaLR (ref: models/symbolAdapter/training/
+unified_trainer.py:227-248).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import optax
+
+
+def linear_schedule_with_warmup(
+    base_lr: float, warmup_steps: int, total_steps: int
+) -> optax.Schedule:
+    """HF "linear": ramp 0→lr over warmup, then linear decay to 0."""
+
+    def fn(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        decay = (total_steps - step) / jnp.maximum(1.0, total_steps - warmup_steps)
+        return base_lr * jnp.clip(jnp.where(step < warmup_steps, warm, decay), 0.0, 1.0)
+
+    return fn
+
+
+def cosine_schedule_with_warmup(
+    base_lr: float, warmup_steps: int, total_steps: int, num_cycles: float = 0.5
+) -> optax.Schedule:
+    """HF "cosine": ramp then cosine decay to 0."""
+
+    def fn(step):
+        import jax.numpy as jnp
+
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup_steps)
+        progress = (step - warmup_steps) / jnp.maximum(1.0, total_steps - warmup_steps)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * 2.0 * num_cycles * progress))
+        return base_lr * jnp.where(step < warmup_steps, jnp.clip(warm, 0, 1), jnp.maximum(cos, 0))
+
+    return fn
+
+
+def per_epoch_warmup_restart_cosine(
+    base_lr: float,
+    steps_per_epoch: int,
+    warmup_ratio: float = 0.1,
+    min_lr_ratio: float = 0.01,
+) -> optax.Schedule:
+    """The symbol trainer's schedule: every epoch restarts with a fresh warmup
+    then cosine-decays within the epoch
+    (ref: unified_trainer.py:227-248 `lr_lambda`)."""
+    warmup_steps = max(1, int(steps_per_epoch * warmup_ratio))
+
+    def fn(step):
+        import jax.numpy as jnp
+
+        step_in_epoch = jnp.mod(jnp.asarray(step, jnp.float32), steps_per_epoch)
+        warm = step_in_epoch / warmup_steps
+        progress = (step_in_epoch - warmup_steps) / jnp.maximum(
+            1.0, steps_per_epoch - warmup_steps
+        )
+        cos = min_lr_ratio + (1 - min_lr_ratio) * 0.5 * (1 + jnp.cos(jnp.pi * progress))
+        return base_lr * jnp.where(step_in_epoch < warmup_steps, jnp.clip(warm, 0, 1), cos)
+
+    return fn
+
+
+def get_schedule(
+    name: str, base_lr: float, warmup_steps: int, total_steps: int, steps_per_epoch: int = 0
+) -> optax.Schedule:
+    """Resolve by the reference's --scheduler flag values
+    (ref: train/train.py:74: linear | cosine | constant)."""
+    if name == "linear":
+        return linear_schedule_with_warmup(base_lr, warmup_steps, total_steps)
+    if name == "cosine":
+        return cosine_schedule_with_warmup(base_lr, warmup_steps, total_steps)
+    if name == "constant":
+        return lambda step: base_lr
+    if name == "per_epoch_warmup_restart":
+        if steps_per_epoch <= 0:
+            raise ValueError("per_epoch_warmup_restart needs steps_per_epoch")
+        return per_epoch_warmup_restart_cosine(base_lr, steps_per_epoch)
+    raise ValueError(f"Unknown scheduler: {name}")

@@ -1,26 +1,30 @@
 """Test harness configuration.
 
 Forces JAX onto a virtual 8-device CPU mesh so multi-chip sharding logic is
-exercised without TPU hardware (SURVEY.md §4 implication). Must run before the
-first ``import jax`` anywhere in the test session.
+exercised without TPU hardware (SURVEY.md §4 implication).
+
+NB: this environment registers a TPU tunnel backend ("axon") through
+sitecustomize and pins JAX_PLATFORMS=axon; the env var alone cannot override
+it, so we use jax.config directly (must happen before first device use).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     devices = jax.devices()
     assert len(devices) == 8, f"expected 8 virtual CPU devices, got {len(devices)}"
     return devices

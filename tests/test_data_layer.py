@@ -1,0 +1,142 @@
+"""Data layer tests: label formatting parity, ICL dataset assembly, multitask
+sampling, pack budget errors."""
+
+import numpy as np
+import pytest
+
+from icl_speech_text_llm_tpu.data import (
+    ICLDataset,
+    MultiTaskICLDataset,
+    PackConfig,
+    PackError,
+    convert_ner_to_dict,
+    format_label,
+    make_synthetic_dataset,
+    pack_batch,
+    tokenize_plan,
+)
+from icl_speech_text_llm_tpu.data.factory import create_dataset
+from icl_speech_text_llm_tpu.data.sources import SyntheticLookup
+from icl_speech_text_llm_tpu.registry import DatasetSplit, DatasetType, get_dataset_config
+from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer
+
+
+def test_convert_ner_to_dict():
+    text = "the european union meets today"
+    ner = {"type": ["ORG", "WHEN"], "start": [4, 25], "length": [14, 5]}
+    out = convert_ner_to_dict(text, ner)
+    assert out == {"ORG": ["european union"], "WHEN": ["today"]}
+    # whitespace-only phrases are dropped (ref: multi_task_dataset.py:38-42)
+    ner2 = {"type": ["X"], "start": [3], "length": [1]}
+    assert convert_ner_to_dict(text, ner2) == {}
+
+
+def test_format_label_family():
+    cfg = get_dataset_config(DatasetType.HVB)
+    assert format_label(["Acknowledge", "thanks"], DatasetType.HVB, cfg) == "acknowledge, thanks"
+    # greek mapping over comma-joined labels
+    gcfg = get_dataset_config(DatasetType.HVB_GREEK)
+    assert format_label("acknowledge,thanks", DatasetType.HVB_GREEK, gcfg) == "foo, zoop"
+    # voxpopuli dict collapse + none
+    vcfg = get_dataset_config(DatasetType.VOXPOPULI)
+    assert format_label({"PLACE": ["x"], "ORG": []}, DatasetType.VOXPOPULI, vcfg) == "place"
+    assert format_label({}, DatasetType.VOXPOPULI, vcfg) == "none"
+    # output formats
+    scfg = get_dataset_config(DatasetType.SQA)
+    assert format_label("12.5 14.25", DatasetType.SQA, scfg) == "12.5 14.25"
+    ncfg = get_dataset_config(DatasetType.VP_NEL)
+    spans = [{"label": "PLACE", "time_span": [1.0, 2.0]}]
+    assert format_label(spans, DatasetType.VP_NEL, ncfg) == "PLACE: 1.0 2.0"
+    assert format_label([], DatasetType.VP_NEL, ncfg) == "none"
+
+
+def test_icl_dataset_default_item():
+    rows = make_synthetic_dataset(DatasetType.VOXCELEB, n=6, k_fewshot=4)
+    ds = ICLDataset(DatasetType.VOXCELEB, rows, input_mode="speech_only",
+                    fewshot_mode="text", num_examples=3)
+    item = ds[0]
+    assert item.plan.slots == [("main", 0)]
+    assert item.completion in {"positive", "negative", "neutral"}
+    assert ("main", 0) in item.slot_audio
+    assert "Here are few examples" in item.plan.prompt
+    assert item.plan.prompt.count("Text:") == 3
+
+
+def test_icl_dataset_speech_fewshot_slots():
+    rows = make_synthetic_dataset(DatasetType.VOXCELEB, n=4, k_fewshot=4)
+    lookup = SyntheticLookup(DatasetType.VOXCELEB, n=8)
+    ds = ICLDataset(DatasetType.VOXCELEB, rows, input_mode="speech_only",
+                    fewshot_mode="speech", num_examples=2, audio_lookup=lookup)
+    item = ds[1]
+    assert item.plan.slots == [("example", 0), ("example", 1), ("main", 0)]
+    # exemplar audio resolved through the lookup's index map
+    assert sum(1 for v in item.slot_audio.values() if v is not None) >= 1
+
+
+def test_sqa_item_dual_audio():
+    rows = make_synthetic_dataset(DatasetType.SQA, n=4)
+    lookup = SyntheticLookup(DatasetType.SQA, n=6)
+    ds = ICLDataset(DatasetType.SQA, rows, input_mode="speech_only",
+                    fewshot_mode="speech", num_examples=1, audio_lookup=lookup)
+    item = ds[0]
+    kinds = [k for k, _ in item.plan.slots]
+    assert kinds == ["document", "question", "document", "question"]
+    assert item.slot_audio[("document", -1)] is not None
+    assert item.slot_audio[("question", -1)] is not None
+
+
+def test_swap_dataset_relabels():
+    rows = make_synthetic_dataset(DatasetType.VOXCELEB_SWAP, n=3)
+    ds = ICLDataset(DatasetType.VOXCELEB_SWAP, rows, input_mode="text_only",
+                    fewshot_mode="text", num_examples=0)
+    item = ds[0]
+    # pinned swap config index 1 maps positive->beta negative->gamma neutral->alpha
+    assert item.completion in {"beta", "gamma", "alpha"}
+
+
+def test_multitask_balanced_interleave():
+    d1 = ICLDataset(DatasetType.VOXCELEB, make_synthetic_dataset(DatasetType.VOXCELEB, n=4),
+                    fewshot_mode="text", num_examples=0, input_mode="text_only")
+    d2 = ICLDataset(DatasetType.HVB, make_synthetic_dataset(DatasetType.HVB, n=2),
+                    fewshot_mode="text", num_examples=0, input_mode="text_only")
+    mt = MultiTaskICLDataset({DatasetType.VOXCELEB: d1, DatasetType.HVB: d2},
+                             balance_datasets=True, interleave=True)
+    assert len(mt) == 8  # 2 tasks * max size 4
+    types = [mt[i].extras["dataset_type"] for i in range(4)]
+    assert types == ["voxceleb", "hvb", "voxceleb", "hvb"]
+    mt.on_epoch_end()  # reshuffle works
+
+
+def test_multitask_sequential():
+    d1 = ICLDataset(DatasetType.VOXCELEB, make_synthetic_dataset(DatasetType.VOXCELEB, n=3),
+                    fewshot_mode="text", num_examples=0, input_mode="text_only")
+    d2 = ICLDataset(DatasetType.HVB, make_synthetic_dataset(DatasetType.HVB, n=2),
+                    fewshot_mode="text", num_examples=0, input_mode="text_only")
+    mt = MultiTaskICLDataset({DatasetType.VOXCELEB: d1, DatasetType.HVB: d2},
+                             balance_datasets=False, interleave=False)
+    assert len(mt) == 5
+    assert [mt[i].extras["dataset_type"] for i in range(5)] == (
+        ["voxceleb"] * 3 + ["hvb"] * 2
+    )
+
+
+def test_pack_budget_errors():
+    tok = get_tokenizer()
+    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+
+    plan = build_default_prompt("T" * 50, "x" * 2000, [], input_mode="text_only",
+                                fewshot_mode="text")
+    sample = tokenize_plan(tok, plan, "positive")
+    with pytest.raises(PackError):
+        pack_batch([sample], PackConfig(seq_len=64, text_len=64, max_slots=1))
+
+
+def test_factory_validation():
+    with pytest.raises(ValueError):
+        create_dataset(DatasetType.VOXCELEB, input_mode="bogus", synthetic=True)
+    with pytest.raises(ValueError):
+        create_dataset(DatasetType.VOXCELEB, fewshot_mode="bogus", synthetic=True)
+    ds = create_dataset(DatasetType.VOXCELEB, synthetic=True, synthetic_size=4,
+                        fewshot_mode="none")
+    assert ds.num_examples == 0
+    assert len(ds) == 4

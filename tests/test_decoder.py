@@ -1,0 +1,131 @@
+"""Decoder core invariants: KV-cache equivalence, LoRA identity, loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icl_speech_text_llm_tpu.models.llama import (
+    DECODER_CONFIGS,
+    LoraConfig,
+    cross_entropy_loss,
+    decoder_forward,
+    init_decoder,
+    init_kv_cache,
+    init_lora,
+    lm_logits,
+)
+from icl_speech_text_llm_tpu.ops.attention import make_decode_mask, make_prefill_mask
+
+CFG = DECODER_CONFIGS["tiny"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_decoder(jax.random.PRNGKey(0), CFG)
+    B, S = 2, 16
+    lengths = jnp.array([16, 11])
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (B, S, CFG.dim)) * 0.02
+    mask = make_prefill_mask(lengths, S)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    hidden, _ = decoder_forward(CFG, params, embeds, mask, positions)
+    return dict(params=params, B=B, S=S, lengths=lengths, embeds=embeds,
+                mask=mask, positions=positions, hidden=hidden)
+
+
+def test_forward_finite_and_shaped(setup):
+    logits = lm_logits(CFG, setup["params"], setup["hidden"])
+    assert logits.shape == (2, 16, CFG.vocab_size)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_prefill_cache_matches_uncached(setup):
+    s = setup
+    T_max = 32
+    cache = init_kv_cache(CFG, s["B"], T_max, dtype=jnp.float32)
+    mask = jnp.concatenate(
+        [s["mask"], jnp.zeros((s["B"], 1, s["S"], T_max - s["S"]), bool)], axis=-1
+    )
+    h2, cache = decoder_forward(
+        CFG, s["params"], s["embeds"], mask, s["positions"], cache=cache
+    )
+    np.testing.assert_allclose(np.asarray(s["hidden"]), np.asarray(h2), rtol=2e-4, atol=2e-5)
+
+
+def test_kv_decode_matches_full_recompute(setup):
+    """The core correctness property of the generation engine: a cached decode
+    step at each sample's own length equals recomputing the full sequence."""
+    s = setup
+    T_max = 32
+    cache = init_kv_cache(CFG, s["B"], T_max, dtype=jnp.float32)
+    mask = jnp.concatenate(
+        [s["mask"], jnp.zeros((s["B"], 1, s["S"], T_max - s["S"]), bool)], axis=-1
+    )
+    _, cache = decoder_forward(CFG, s["params"], s["embeds"], mask, s["positions"], cache=cache)
+
+    next_tok = jax.random.normal(jax.random.PRNGKey(2), (s["B"], 1, CFG.dim)) * 0.02
+    h3, _ = decoder_forward(
+        CFG, s["params"], next_tok, make_decode_mask(s["lengths"] + 1, T_max),
+        s["lengths"][:, None], cache=cache, cache_positions=s["lengths"],
+    )
+    # sample 1 has length 11 (right-padded): recompute 12 positions from scratch
+    emb_full = jnp.concatenate([s["embeds"][1:2, :11], next_tok[1:2]], axis=1)
+    h_ref, _ = decoder_forward(
+        CFG, s["params"], emb_full, make_prefill_mask(jnp.array([12]), 12),
+        jnp.arange(12)[None],
+    )
+    assert float(jnp.abs(h3[1, 0] - h_ref[0, -1]).max()) < 1e-4
+    # sample 0 is full-length
+    emb_full0 = jnp.concatenate([s["embeds"][0:1], next_tok[0:1]], axis=1)
+    h_ref0, _ = decoder_forward(
+        CFG, s["params"], emb_full0, make_prefill_mask(jnp.array([17]), 17),
+        jnp.arange(17)[None],
+    )
+    assert float(jnp.abs(h3[0, 0] - h_ref0[0, -1]).max()) < 1e-4
+
+
+def test_lora_zero_init_is_identity(setup):
+    s = setup
+    lcfg = LoraConfig(rank=4, targets=("wq", "wv", "w_down"))
+    lora = init_lora(jax.random.PRNGKey(3), CFG, lcfg)
+    h, _ = decoder_forward(
+        CFG, s["params"], s["embeds"], s["mask"], s["positions"],
+        lora=lora, lora_scaling=lcfg.scaling,
+    )
+    np.testing.assert_allclose(np.asarray(s["hidden"]), np.asarray(h), atol=1e-6)
+
+
+def test_lora_nonzero_changes_output(setup):
+    s = setup
+    lcfg = LoraConfig(rank=4, targets=("wq", "wv"))
+    lora = init_lora(jax.random.PRNGKey(3), CFG, lcfg)
+    lora = jax.tree_util.tree_map(lambda x: x + 0.05, lora)
+    h, _ = decoder_forward(
+        CFG, s["params"], s["embeds"], s["mask"], s["positions"],
+        lora=lora, lora_scaling=lcfg.scaling,
+    )
+    assert float(jnp.abs(h - s["hidden"]).max()) > 1e-3
+
+
+def test_cross_entropy_masking(setup):
+    logits = lm_logits(CFG, setup["params"], setup["hidden"])
+    labels = jnp.full((2, 16), -100)
+    labels = labels.at[:, 8:12].set(5)
+    loss = cross_entropy_loss(logits, labels)
+    assert float(loss) > 0
+    # all-masked → zero loss, no NaN
+    assert float(cross_entropy_loss(logits, jnp.full((2, 16), -100))) == 0.0
+
+
+def test_padding_invariance(setup):
+    """Extending right padding must not change valid-position outputs."""
+    s = setup
+    S2 = 24
+    emb_pad = jnp.zeros((1, S2, CFG.dim)).at[:, :11].set(s["embeds"][1:2, :11])
+    h_pad, _ = decoder_forward(
+        CFG, s["params"], emb_pad, make_prefill_mask(jnp.array([11]), S2),
+        jnp.broadcast_to(jnp.arange(S2), (1, S2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_pad[0, :11]), np.asarray(s["hidden"][1, :11]), rtol=2e-4, atol=2e-5
+    )

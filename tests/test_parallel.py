@@ -1,0 +1,53 @@
+"""Sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from icl_speech_text_llm_tpu.models.salmonn import init_salmonn, salmonn_tiny
+from icl_speech_text_llm_tpu.parallel.mesh import make_mesh
+from icl_speech_text_llm_tpu.parallel.sharding import (
+    shard_batch,
+    shard_params,
+    spec_for_path,
+)
+
+
+def test_mesh_axes(cpu_devices):
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    assert mesh.axis_names == ("dp", "fsdp", "tp")
+    assert mesh.devices.size == 8
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, fsdp=1, tp=1)
+
+
+def test_spec_rules():
+    assert spec_for_path("llm/layers/attn/wq", 3) == P(None, "fsdp", "tp")
+    assert spec_for_path("llm/layers/attn/wo", 3) == P(None, "tp", "fsdp")
+    assert spec_for_path("llm/layers/mlp/w_down", 3) == P(None, "tp", "fsdp")
+    assert spec_for_path("llm/tok_embed", 2) == P("tp", None)
+    assert spec_for_path("llm/layers/ln_attn", 2) == P()
+    assert spec_for_path("qformer/layers/self_attn/wq", 3) == P()
+    assert spec_for_path("lora/wq/a", 3) == P(None, "fsdp", None)
+
+
+def test_sharded_loss_matches_single_device(cpu_devices):
+    """GSPMD-sharded forward must equal the unsharded forward."""
+    from icl_speech_text_llm_tpu.models.salmonn import salmonn_train_loss
+    from tests.test_training import _tiny_batch
+    from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer
+
+    cfg = salmonn_tiny()
+    params = init_salmonn(jax.random.PRNGKey(0), cfg)
+    tok = get_tokenizer()
+    batch = _tiny_batch(cfg, tok, batch_size=4)  # divisible by dp*fsdp
+
+    loss_single = float(salmonn_train_loss(cfg, params, batch))
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    sp = shard_params(params, mesh)
+    sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    loss_sharded = float(jax.jit(lambda p, b: salmonn_train_loss(cfg, p, b))(sp, sb))
+    assert loss_sharded == pytest.approx(loss_single, rel=1e-4)
