@@ -154,6 +154,91 @@ def format_prompt(
     return build_default_prompt(template, text, examples, input_mode, fewshot_mode).prompt
 
 
+def build_qwen_prompt(
+    template: str,
+    text: str,
+    examples: Optional[List[Dict]] = None,
+    input_mode: str = "speech_and_text",
+    fewshot_mode: str = "text",
+    dataset_type: Optional[DatasetType] = None,
+    question: str = "",
+) -> PromptPlan:
+    """Qwen2-Audio chat-format prompt.
+
+    Renders the reference's conversation structure
+    (ref: data/model_processors.py:226-383 — system template, examples with
+    audio placeholders, 'Now analyze this input:') through the Qwen2-Audio
+    chat template textually: each audio becomes
+    ``Audio {n}: <|audio_bos|><|AUDIO|><|audio_eos|>`` and the plan records
+    an audio slot at that position.
+    """
+    segments: List[str] = []
+    slots: List[tuple] = []
+    parts: List[str] = [
+        f"<|im_start|>system\n{template}<|im_end|>\n<|im_start|>user\n"
+    ]
+    audio_count = 0
+
+    def add_audio(slot):
+        nonlocal audio_count
+        audio_count += 1
+        parts.append(f"Audio {audio_count}: <|audio_bos|>")
+        segments.append("".join(parts))
+        parts.clear()
+        slots.append(slot)
+        parts.append("<|audio_eos|>\n")
+
+    is_sqa = dataset_type == DatasetType.SQA
+    if examples:
+        parts.append("Here are few examples to learn from:\n")
+        for i, ex in enumerate(examples):
+            if fewshot_mode == "speech":
+                if is_sqa:
+                    add_audio((QUESTION_SLOT, i))
+                    add_audio((DOC_SLOT, i))
+                    parts.append(f"Answer: {ex.get('completion', '')}\n")
+                else:
+                    add_audio((EXAMPLE_SLOT, i))
+                    parts.append(f"Label: {ex.get('label', '')}\n")
+            else:
+                if is_sqa:
+                    parts.append(
+                        f"Question: {ex.get('question', '')}\n"
+                        f"Document: {ex.get('document', '')}\n"
+                        f"Answer: {ex.get('completion', '')}\n"
+                    )
+                else:
+                    parts.append(
+                        f"Text: {ex.get('text', '')}\nLabel: {ex.get('label', '')}\n"
+                    )
+    parts.append("\nNow analyze this input:\n")
+    if is_sqa:
+        if "speech" in input_mode:
+            add_audio((QUESTION_SLOT, -1))
+            if input_mode == "speech_and_text" and question:
+                parts.append(f"Question text: {question}\n")
+            add_audio((DOC_SLOT, -1))
+            if input_mode == "speech_and_text" and text:
+                parts.append(f"Document text: {text}")
+        else:
+            parts.append(f"Question: {question}\nDocument: {text}")
+    else:
+        if "speech" in input_mode:
+            add_audio((MAIN_SLOT, 0))
+        if input_mode == "speech_and_text" and text:
+            parts.append(text)
+        elif input_mode == "text_only":
+            parts.append(text)
+    parts.append("<|im_end|>\n<|im_start|>assistant\n")
+    segments.append("".join(parts))
+
+    prompt = ""
+    for i, seg in enumerate(segments[:-1]):
+        prompt += seg + "<|AUDIO|>"
+    prompt += segments[-1]
+    return PromptPlan(segments=segments, slots=slots, prompt=prompt)
+
+
 def _split_default(prompt: str, num_speech_examples: int, has_main: bool) -> PromptPlan:
     """Split on <Example{i}> then <SpeechHere>, mirroring the reference's
     splice order (ref: models/custom_salmon.py:150-175,242-267)."""

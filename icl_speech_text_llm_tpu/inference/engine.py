@@ -63,6 +63,58 @@ def _sample_token(logits: jnp.ndarray, rng, gen: GenerationConfig) -> jnp.ndarra
     return jax.random.categorical(rng, masked, axis=-1)
 
 
+def decode_from_sequence(
+    llm_cfg,
+    llm_params: Dict[str, Any],
+    seq: jnp.ndarray,  # (B, L, D) assembled prompt embeddings
+    lengths: jnp.ndarray,  # (B,) per-sample prompt length
+    gen: GenerationConfig,
+    lora: Optional[Dict[str, Any]] = None,
+    lora_scaling: float = 1.0,
+    dt=jnp.float32,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Shared prefill + KV-decode core used by every model family."""
+    B, L, _ = seq.shape
+    cache_len = L + gen.max_new_tokens
+    cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt)
+    prefill_mask = jnp.concatenate(
+        [make_prefill_mask(lengths, L), jnp.zeros((B, 1, L, cache_len - L), bool)], axis=-1
+    )
+    positions = jnp.broadcast_to(jnp.arange(L), (B, L))
+
+    hidden, cache = decoder_forward(
+        llm_cfg, llm_params, seq, prefill_mask, positions,
+        cache=cache, lora=lora, lora_scaling=lora_scaling,
+    )
+    # logits at each sample's final prompt position
+    last_hidden = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
+    first_logits = lm_logits(llm_cfg, llm_params, last_hidden)[:, 0]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, step_rng):
+        cache, tok, done, cur_len = carry
+        emb = embed_tokens(llm_params, tok[:, None], dtype=dt)
+        mask = make_decode_mask(cur_len + 1, cache_len)
+        hidden, cache = decoder_forward(
+            llm_cfg, llm_params, emb, mask, cur_len[:, None],
+            cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
+        )
+        logits = lm_logits(llm_cfg, llm_params, hidden)[:, 0]
+        nxt = _sample_token(logits, step_rng, gen)
+        nxt = jnp.where(done, gen.pad_token_id, nxt)
+        done = done | (nxt == gen.eos_token_id)
+        return (cache, nxt, done, cur_len + 1), tok
+
+    tok0 = _sample_token(first_logits, rng, gen)
+    done0 = tok0 == gen.eos_token_id
+    step_rngs = jax.random.split(rng, gen.max_new_tokens)
+    (_, _, _, _), toks = jax.lax.scan(step, (cache, tok0, done0, lengths), step_rngs)
+    return toks.T  # (B, max_new_tokens): tok0 first, then scan outputs
+
+
 def salmonn_generate(
     cfg: SalmonnConfig,
     gen: GenerationConfig,
@@ -88,48 +140,12 @@ def salmonn_generate(
     ).reshape(B, n_slots, -1, cfg.llm.dim)
 
     seq = assemble_sequence(cfg, params, batch["text_tokens"], speech, batch["gather_idx"])
-    L = seq.shape[1]
-    lengths = batch["seq_lengths"]  # prompt length (completion region excluded)
-    cache_len = L + gen.max_new_tokens
-
-    cache = init_kv_cache(cfg.llm, B, cache_len, dtype=dt)
-    prefill_mask = jnp.concatenate(
-        [make_prefill_mask(lengths, L), jnp.zeros((B, 1, L, cache_len - L), bool)], axis=-1
-    )
-    positions = jnp.broadcast_to(jnp.arange(L), (B, L))
     lora = params.get("lora")
     scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
-
-    hidden, cache = decoder_forward(
-        cfg.llm, params["llm"], seq, prefill_mask, positions,
-        cache=cache, lora=lora, lora_scaling=scaling,
+    return decode_from_sequence(
+        cfg.llm, params["llm"], seq, batch["seq_lengths"], gen,
+        lora=lora, lora_scaling=scaling, dt=dt, rng=rng,
     )
-    # logits at each sample's final prompt position
-    last_hidden = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
-    first_logits = lm_logits(cfg.llm, params["llm"], last_hidden)[:, 0]
-
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-
-    def step(carry, step_rng):
-        cache, tok, done, cur_len = carry
-        emb = embed_tokens(params["llm"], tok[:, None], dtype=dt)
-        mask = make_decode_mask(cur_len + 1, cache_len)
-        hidden, cache = decoder_forward(
-            cfg.llm, params["llm"], emb, mask, cur_len[:, None],
-            cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=scaling,
-        )
-        logits = lm_logits(cfg.llm, params["llm"], hidden)[:, 0]
-        nxt = _sample_token(logits, step_rng, gen)
-        nxt = jnp.where(done, gen.pad_token_id, nxt)
-        done = done | (nxt == gen.eos_token_id)
-        return (cache, nxt, done, cur_len + 1), tok
-
-    tok0 = _sample_token(first_logits, rng, gen)
-    done0 = tok0 == gen.eos_token_id
-    step_rngs = jax.random.split(rng, gen.max_new_tokens)
-    (_, _, _, _), toks = jax.lax.scan(step, (cache, tok0, done0, lengths), step_rngs)
-    return toks.T  # (B, max_new_tokens): tok0 first, then scan outputs
 
 
 class SalmonnEngine:

@@ -1,0 +1,169 @@
+"""Qwen2-Audio, TPU-native: Whisper-style audio tower → avg-pool → projector →
+Qwen2 LLM (+LoRA).
+
+Rebuild of the reference's CustomQwen wrapper around HF
+Qwen2AudioForConditionalGeneration (ref: models/custom_qwen.py:29-247):
+- audio tower is a Whisper-large-v2-shape encoder (1280 dim, 32 layers);
+- its 1500 output frames average-pool with stride 2 → 750 audio positions per
+  30 s clip, projected to the LLM dim (HF multi_modal_projector);
+- the LLM is the Qwen2 decoder from models/llama.py (qkv biases, GQA, high
+  rope theta);
+- LoRA on q/k projections, r=8 α=32, mirrors the reference PEFT setup
+  (ref :69-81);
+- prompt packing reuses the SAME one-gather assembly: each audio slot
+  occupies 750 fixed positions (vs SALMONN's 88).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.packing import PackedBatch
+from ..ops.attention import make_prefill_mask
+from ..ops.mel import log_mel_spectrogram
+from .common import dense_init
+from .llama import (
+    DECODER_CONFIGS,
+    DecoderConfig,
+    LoraConfig,
+    cross_entropy_loss,
+    decoder_forward,
+    embed_tokens,
+    init_decoder,
+    init_lora,
+    lm_logits,
+)
+from .whisper import WHISPER_CONFIGS, WhisperEncoderConfig, init_whisper_encoder, whisper_encode
+
+
+@dataclass(frozen=True)
+class QwenAudioConfig:
+    encoder: WhisperEncoderConfig
+    llm: DecoderConfig
+    lora: Optional[LoraConfig] = LoraConfig(rank=8, alpha=32.0, targets=("wq", "wk"))
+    pool_stride: int = 2
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def audio_tokens_per_slot(self) -> int:
+        return self.encoder.n_ctx // self.pool_stride  # 750 for 30 s
+
+
+def qwen2_audio_7b() -> QwenAudioConfig:
+    """Qwen2-Audio-7B-Instruct shape (ref: models/custom_qwen.py:51)."""
+    return QwenAudioConfig(
+        encoder=WHISPER_CONFIGS["large-v2"],
+        llm=DECODER_CONFIGS["qwen2-7b"],
+        compute_dtype=jnp.bfloat16,
+    )
+
+
+def qwen2_audio_tiny() -> QwenAudioConfig:
+    """CPU-testable config; LLM uses the TinyTokenizer vocab."""
+    return QwenAudioConfig(
+        encoder=WHISPER_CONFIGS["tiny-test"],
+        llm=DECODER_CONFIGS["tiny"],
+        lora=LoraConfig(rank=4, alpha=8.0, targets=("wq", "wk")),
+    )
+
+
+def qwen2_audio_smoke() -> QwenAudioConfig:
+    """Qwen2-0.5B-backbone smoke config (BASELINE.md benchmark config #1),
+    shrunk encoder for CPU."""
+    return QwenAudioConfig(
+        encoder=WhisperEncoderConfig(dim=128, n_heads=4, n_layers=2),
+        llm=DECODER_CONFIGS["qwen2-0.5b"],
+    )
+
+
+def init_qwen_audio(key, cfg: QwenAudioConfig) -> Dict[str, Any]:
+    ke, kp, kl, klo = jax.random.split(key, 4)
+    params = {
+        "encoder": init_whisper_encoder(ke, cfg.encoder),
+        "projector": {
+            "w": dense_init(kp, cfg.encoder.dim, cfg.llm.dim),
+            "b": jnp.zeros((cfg.llm.dim,)),
+        },
+        "llm": init_decoder(kl, cfg.llm),
+    }
+    if cfg.lora is not None:
+        params["lora"] = init_lora(klo, cfg.llm, cfg.lora)
+    return params
+
+
+def encode_audio(
+    cfg: QwenAudioConfig, params: Dict[str, Any], mels: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, 80, 3000) mel → (N, 750, llm_dim) audio positions."""
+    dt = cfg.compute_dtype
+    feats = whisper_encode(cfg.encoder, params["encoder"], mels, dtype=dt)  # (N,1500,D)
+    N, T, D = feats.shape
+    s = cfg.pool_stride
+    pooled = feats[:, : (T // s) * s].reshape(N, T // s, s, D).mean(axis=2)
+    return pooled @ params["projector"]["w"].astype(dt) + params["projector"]["b"].astype(dt)
+
+
+def _assemble(cfg, params, text_tokens, audio, gather_idx):
+    dt = cfg.compute_dtype
+    B = text_tokens.shape[0]
+    text_embeds = embed_tokens(params["llm"], text_tokens, dtype=dt)
+    D = text_embeds.shape[-1]
+    audio_flat = audio.reshape(B, -1, D).astype(dt)
+    table = jnp.concatenate([jnp.zeros((B, 1, D), dt), text_embeds, audio_flat], axis=1)
+    return jnp.take_along_axis(table, gather_idx[..., None], axis=1)
+
+
+def _encode_batch_audio(cfg, params, batch):
+    B = batch["text_tokens"].shape[0]
+    wavs = batch["wavs"]
+    n_slots = wavs.shape[1]
+    flat = wavs.reshape(B * n_slots, wavs.shape[-1])
+    mels = log_mel_spectrogram(flat)
+    audio = encode_audio(cfg, params, mels)
+    return audio.reshape(B, n_slots, -1, cfg.llm.dim)
+
+
+def qwen_audio_train_loss(
+    cfg: QwenAudioConfig,
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    lora_params: Optional[Dict[str, Any]] = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Training forward: labels mask the prompt via the packed layout — the
+    packed equivalent of the reference's prompt_length masking
+    (ref: models/custom_qwen.py:141-145)."""
+    B = batch["text_tokens"].shape[0]
+    audio = _encode_batch_audio(cfg, params, batch)
+    seq = _assemble(cfg, params, batch["text_tokens"], audio, batch["gather_idx"])
+    L = seq.shape[1]
+    lengths = jnp.sum(batch["seq_mask"], axis=1)
+    mask = make_prefill_mask(lengths, L)
+    positions = jnp.broadcast_to(jnp.arange(L), (B, L))
+    lora = lora_params if lora_params is not None else params.get("lora")
+    scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
+    hidden, _ = decoder_forward(
+        cfg.llm, params["llm"], seq, mask, positions,
+        lora=lora, lora_scaling=scaling, remat=remat,
+    )
+    logits = lm_logits(cfg.llm, params["llm"], hidden)
+    return cross_entropy_loss(logits, batch["shifted_labels"])
+
+
+def qwen_audio_generate(cfg: QwenAudioConfig, gen, params, batch, rng=None):
+    """Greedy/sampled generation (ref: models/custom_qwen.py:199-247 slices
+    continuation tokens — here decode starts at each sample's length)."""
+    from ..inference.engine import decode_from_sequence
+
+    audio = _encode_batch_audio(cfg, params, batch)
+    seq = _assemble(cfg, params, batch["text_tokens"], audio, batch["gather_idx"])
+    lora = params.get("lora")
+    scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
+    return decode_from_sequence(
+        cfg.llm, params["llm"], seq, batch["seq_lengths"], gen,
+        lora=lora, lora_scaling=scaling, dt=cfg.compute_dtype, rng=rng,
+    )
