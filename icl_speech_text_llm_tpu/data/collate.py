@@ -51,14 +51,14 @@ def collate_icl_batch(
 
     B = len(samples)
     n_slots = pack_cfg.max_slots
-    wavs = np.zeros((B, n_slots, N_SAMPLES), np.float32)
+    # flat (B*n_slots) wav list → native block packer (numpy fallback inside)
+    flat: List = [None] * (B * n_slots)
     for b, s in enumerate(samples):
         for i, slot in enumerate(s.plan.slots):
-            wav = s.slot_audio.get(slot)
-            if wav is None:
-                continue
-            n = min(len(wav), N_SAMPLES)
-            wavs[b, i, :n] = wav[:n]
+            flat[b * n_slots + i] = s.slot_audio.get(slot)
+    from ..utils.native import pack_audio_block
+
+    wavs = pack_audio_block(flat, N_SAMPLES).reshape(B, n_slots, N_SAMPLES)
     batch.audio["wavs"] = wavs
     batch.labels_shifted = shift_labels(batch.labels)
     return batch

@@ -60,9 +60,60 @@ def load_dataset(
     return ds
 
 
-def clear_dataset_cache():
-    """(ref: utils/data_utils.py:95)"""
+def clear_dataset_cache() -> int:
+    """(ref: utils/data_utils.py:95-110)"""
+    n = len(_DATASET_CACHE)
     _DATASET_CACHE.clear()
+    logger.info(f"Dataset cache cleared: {n} datasets")
+    return n
+
+
+def get_dataset_sample(
+    dataset_type: DatasetType, split: DatasetSplit = DatasetSplit.TRAIN,
+    n_samples: int = 5, seed: Optional[int] = None,
+):
+    """Random sample for inspection (ref: utils/data_utils.py:112-141)."""
+    data = load_dataset(dataset_type, split)
+    rng = random.Random(seed)
+    if len(data) <= n_samples:
+        return list(data)
+    idxs = rng.sample(range(len(data)), n_samples)
+    return [data[i] for i in idxs]
+
+
+def get_dataset_stats(dataset_type: DatasetType, split: DatasetSplit = DatasetSplit.TRAIN):
+    """Size + label distribution (ref: utils/data_utils.py:143-185)."""
+    data = load_dataset(dataset_type, split)
+    config = get_dataset_config(resolve_base_type(dataset_type))
+    stats = {"dataset_type": dataset_type.value, "split": split.value,
+             "num_examples": len(data)}
+    if config and config.completion_key:
+        label_counts: Dict[str, int] = {}
+        for item in data:
+            label = item.get(config.completion_key)
+            key = str(label)
+            label_counts[key] = label_counts.get(key, 0) + 1
+        stats["label_distribution"] = label_counts
+    return stats
+
+
+def validate_dataset(dataset_type: DatasetType, split: DatasetSplit = DatasetSplit.TRAIN):
+    """Field presence check (ref: utils/data_utils.py:187-236)."""
+    data = load_dataset(dataset_type, split)
+    config = get_dataset_config(resolve_base_type(dataset_type))
+    required = [config.completion_key, config.text_key]
+    missing: Dict[str, list] = {}
+    for idx, item in enumerate(data):
+        for field in required:
+            if field not in item:
+                missing.setdefault(field, []).append(idx)
+    return {
+        "dataset_type": dataset_type.value,
+        "split": split.value,
+        "num_examples": len(data),
+        "missing_fields": missing,
+        "is_valid": not missing,
+    }
 
 
 # ---------------------------------------------------------------------------

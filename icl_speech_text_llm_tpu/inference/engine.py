@@ -27,15 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.packing import PackedBatch
-from ..ops.mel import log_mel_spectrogram
 from ..models.llama import (
     decoder_forward,
     embed_tokens,
     init_kv_cache,
     lm_logits,
 )
-from ..models.salmonn import SalmonnConfig, assemble_sequence, encode_speech
 from ..ops.attention import make_decode_mask, make_prefill_mask
+from ..ops.mel import log_mel_spectrogram
+
+# NB: models.salmonn is imported lazily inside salmonn_generate — importing it
+# at module level closes a cycle through models/__init__ → factory → engine.
 
 
 @dataclass(frozen=True)
@@ -75,6 +77,8 @@ def decode_from_sequence(
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Shared prefill + KV-decode core used by every model family."""
+    from ..ops.flash_attention import flash_attention_usable
+
     B, L, _ = seq.shape
     cache_len = L + gen.max_new_tokens
     cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt)
@@ -83,9 +87,13 @@ def decode_from_sequence(
     )
     positions = jnp.broadcast_to(jnp.arange(L), (B, L))
 
+    # Pallas flash attention for the prefill when shapes allow (head_dim ≥ 128,
+    # seq a multiple of 128) — the dominant cost of k-shot ICL inference.
+    flash_lengths = lengths if flash_attention_usable(L, llm_cfg.hd) else None
     hidden, cache = decoder_forward(
         llm_cfg, llm_params, seq, prefill_mask, positions,
         cache=cache, lora=lora, lora_scaling=lora_scaling,
+        flash_lengths=flash_lengths,
     )
     # logits at each sample's final prompt position
     last_hidden = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
@@ -116,7 +124,7 @@ def decode_from_sequence(
 
 
 def salmonn_generate(
-    cfg: SalmonnConfig,
+    cfg,
     gen: GenerationConfig,
     params: Dict[str, Any],
     batch: Dict[str, jnp.ndarray],
@@ -128,6 +136,8 @@ def salmonn_generate(
     wavs (B, n_slots, n_samples). Mel extraction runs on-device.
     Jit this whole function (cfg/gen static).
     """
+    from ..models.salmonn import assemble_sequence, encode_speech
+
     B = batch["text_tokens"].shape[0]
     wavs = batch["wavs"]
     n_slots = wavs.shape[1]
@@ -155,7 +165,7 @@ class SalmonnEngine:
     (ref: models/base_model.py:38-50, custom_salmon.py:642-739).
     """
 
-    def __init__(self, cfg: SalmonnConfig, params, tokenizer, gen: GenerationConfig = None):
+    def __init__(self, cfg, params, tokenizer, gen: GenerationConfig = None):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer

@@ -19,8 +19,11 @@ import numpy as np
 
 from ..data.collate import ICLSample, collate_icl_batch
 from ..data.packing import PackConfig
-from ..inference.engine import GenerationConfig, SalmonnEngine
 from ..training.checkpoint import apply_trainable, load_checkpoint
+
+# NB: inference.engine is imported lazily inside SalmonnModel — a module-level
+# import would close a cycle (engine imports models.llama → models/__init__ →
+# this module).
 from ..utils.tokenization import Tokenizer, get_tokenizer
 from .salmonn import (
     SalmonnConfig,
@@ -55,8 +58,10 @@ class SalmonnModel:
         params: Dict[str, Any],
         tokenizer: Tokenizer,
         pack_cfg: Optional[PackConfig] = None,
-        generation: Optional[GenerationConfig] = None,
+        generation=None,
     ):
+        from ..inference.engine import SalmonnEngine
+
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -105,7 +110,7 @@ def create_model(
     tokenizer: Optional[str] = None,
     seed: int = 0,
     pack_cfg: Optional[PackConfig] = None,
-    generation: Optional[GenerationConfig] = None,
+    generation=None,
     **_,
 ) -> SalmonnModel:
     """(ref: models/model_factory.py:29-97)"""

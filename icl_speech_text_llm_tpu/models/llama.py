@@ -201,6 +201,7 @@ def _layer_forward(
     inv_freq: jnp.ndarray,
     cache_kv,  # None or (k, v): (B, Hkv, T_cache, hd)
     cache_positions,  # None or (B,) write index per sample
+    flash_lengths=None,  # (B,) → use the Pallas flash kernel for this prefill
 ):
     B, T, _ = x.shape
     hd = cfg.hd
@@ -239,9 +240,23 @@ def _layer_forward(
     else:
         k_att, v_att = k, v
 
-    k_att = repeat_kv(k_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
-    v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
-    out = dot_product_attention(q, k_att, v_att, mask)
+    if flash_lengths is not None and cache_positions is None:
+        # Pallas flash attention over the CURRENT k/v (identical to attending
+        # the cache: positions beyond T are masked anyway).
+        from ..ops.flash_attention import flash_attention
+
+        n_rep = cfg.n_heads // cfg.n_kv_heads
+        out = flash_attention(
+            q,
+            repeat_kv(k.astype(q.dtype), n_rep),
+            repeat_kv(v.astype(q.dtype), n_rep),
+            lengths=flash_lengths,
+            causal=True,
+        )
+    else:
+        k_att = repeat_kv(k_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
+        v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
+        out = dot_product_attention(q, k_att, v_att, mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_heads * hd)
     x = x + _proj(out, attn["wo"], lora_layer, "wo", lora_scaling)
 
@@ -271,8 +286,12 @@ def decoder_forward(
     lora: Optional[Dict[str, Any]] = None,
     lora_scaling: float = 1.0,
     remat: bool = False,
+    flash_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
-    """Run the decoder stack. Returns (hidden_states, updated_cache)."""
+    """Run the decoder stack. Returns (hidden_states, updated_cache).
+
+    ``flash_lengths`` switches prefill attention to the Pallas flash kernel
+    (requires head_dim ≥ 128 and seq multiple of 128; inference path only)."""
     inv_freq = jnp.asarray(rope_frequencies(cfg.hd, cfg.rope_theta))
     x = inputs_embeds
     use_lora = lora is not None
@@ -295,6 +314,7 @@ def decoder_forward(
         x, new_kv = layer_fn(
             cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
             positions, inv_freq, ckv if use_cache else None, cache_positions,
+            flash_lengths,
         )
         return x, (new_kv if use_cache else jnp.zeros(()))
 

@@ -1,0 +1,169 @@
+"""Pallas TPU flash attention (forward).
+
+Tiled online-softmax attention for the LLM prefill path — the dominant cost of
+k-shot ICL inference (1-2k-position prompts, 10 decode tokens; SURVEY.md §7.3
+hard part #3). Never materializes the (S, S) scores matrix: per Q tile it
+streams KV tiles through VMEM keeping running max/sum/accumulator scratch.
+
+Supports the masks this framework needs:
+- causal;
+- per-sample valid length (right-padded packed prompts) via scalar prefetch.
+
+Block-skipping: KV tiles entirely above the causal diagonal or entirely beyond
+the sample's length are skipped before any MXU work.
+
+Used for head_dim ≥ MIN_LANES tensors (the LLM's 128); the XLA einsum path
+(ops/attention.py) remains the numerics oracle and the fallback for the small
+encoder heads. Inference-only for now: training uses the XLA path (flash
+backward kernels are future work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MIN_LANES = 128
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(
+    lengths_ref,  # scalar prefetch: (B,) int32 valid length per sample
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_k, D)
+    v_ref,  # (1, 1, block_k, D)
+    o_ref,  # (1, 1, block_q, D)
+    m_scratch,  # (block_q, MIN_LANES) f32
+    l_scratch,  # (block_q, MIN_LANES) f32
+    acc_scratch,  # (block_q, D) f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+):
+    b = pl.program_id(0)
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    length = lengths_ref[b]
+    q_start = q_idx * block_q
+    kv_start = kv_idx * block_k
+
+    # skip tiles fully above the causal diagonal or fully beyond the length
+    on_or_below_diag = (q_start + block_q - 1) >= kv_start if causal else True
+    within_length = kv_start < length
+    should_run = jnp.logical_and(on_or_below_diag, within_length)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # (block_q, D)
+        k = k_ref[0, 0]  # (block_k, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, block_k)
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+        mask = col_ids < length
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        s = s + jnp.where(mask, 0.0, MASK_VALUE)
+
+        m_prev = m_scratch[...]  # (block_q, MIN_LANES), lanes replicated
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0, 0]  # (block_k, D)
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        # lanes of alpha are replicated; broadcast one lane over D
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
+)
+def flash_attention(
+    q: jnp.ndarray,  # (B, H, S, D)
+    k: jnp.ndarray,  # (B, H, S_kv, D)
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid KV length; None = all
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Flash attention forward. Requires S % block_q == 0, S_kv % block_k == 0,
+    D >= MIN_LANES (use ops.attention otherwise)."""
+    B, H, S, D = q.shape
+    S_kv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = D**-0.5
+    if lengths is None:
+        lengths = jnp.full((B,), S_kv, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+
+    grid = (B, H, S // block_q, S_kv // block_k)
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        kv_len=S_kv,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths, q, k, v)
+
+
+def flash_attention_usable(seq_len: int, head_dim: int, block: int = 128) -> bool:
+    """Whether shapes satisfy the kernel's static constraints."""
+    return head_dim >= MIN_LANES and seq_len % block == 0

@@ -156,11 +156,12 @@ def log_mel_spectrogram(wav: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*wav.shape[:-1], N_MELS, N_FRAMES)
 
 
-def resample_kaiser(wav: jnp.ndarray, orig_sr: int, new_sr: int, num_taps: int = 64) -> jnp.ndarray:
+def resample_kaiser(wav: jnp.ndarray, orig_sr: int, new_sr: int, zeros: int = 16) -> jnp.ndarray:
     """Windowed-sinc polyphase resampler (host-side prep for non-16 kHz audio).
 
     The reference relied on datasets already being 16 kHz; this covers the
-    general case without torchaudio.
+    general case without torchaudio. Filter half-width covers ``zeros`` sinc
+    zero crossings at the upsampled rate.
     """
     if orig_sr == new_sr:
         return wav
@@ -168,10 +169,11 @@ def resample_kaiser(wav: jnp.ndarray, orig_sr: int, new_sr: int, num_taps: int =
 
     g = gcd(orig_sr, new_sr)
     up, down = new_sr // g, orig_sr // g
-    # Upsample by zero-stuffing, low-pass at min(pi/up, pi/down), downsample.
-    n = np.arange(-num_taps, num_taps + 1)
-    cutoff = min(1.0 / up, 1.0 / down)
-    h = np.sinc(n * cutoff) * cutoff * up * np.kaiser(2 * num_taps + 1, 8.0)
+    rate = max(up, down)
+    T = zeros * rate
+    cutoff = 1.0 / rate
+    n = np.arange(-T, T + 1)
+    h = np.sinc(n * cutoff) * cutoff * up * np.kaiser(2 * T + 1, 8.0)
     h = jnp.asarray(h, dtype=jnp.float32)
     x = jnp.zeros(wav.shape[-1] * up, dtype=jnp.float32).at[::up].set(wav)
     y = jnp.convolve(x, h, mode="same")
