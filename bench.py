@@ -6,8 +6,10 @@ against the first recorded run of this harness (stored in BENCH_BASELINE.json
 once measured on TPU); until then it is null.
 
 Runs on whatever accelerator JAX offers (the real TPU chip under the driver;
-CPU with JAX_PLATFORMS=cpu for smoke). Model: tiny SALMONN topology this
-round — same code path as the full model, swap configs as weights scale up.
+CPU with BENCH_CPU=1 for smoke). Model: the fixed "salmonn-bench" topology —
+full component stack with a head_dim-128 bf16 LLM (Pallas flash-attention
+prefill), comparable across rounds. BENCH_MODEL=tiny selects the CPU-fast
+tiny config.
 """
 
 from __future__ import annotations
@@ -33,11 +35,18 @@ def main():
     from icl_speech_text_llm_tpu.data.packing import PackConfig
     from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
     from icl_speech_text_llm_tpu.inference.engine import GenerationConfig, salmonn_generate
-    from icl_speech_text_llm_tpu.models.salmonn import init_salmonn, salmonn_tiny
+    from icl_speech_text_llm_tpu.models.salmonn import (
+        init_salmonn,
+        salmonn_bench,
+        salmonn_tiny,
+    )
     from icl_speech_text_llm_tpu.registry import DatasetType, get_dataset_config
     from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer
 
-    cfg = salmonn_tiny()
+    model_name = os.environ.get("BENCH_MODEL", "salmonn-bench")
+    cfg = salmonn_tiny() if model_name == "tiny" else salmonn_bench()
+    if model_name == "tiny":
+        model_name = "salmonn-tiny"
     params = init_salmonn(jax.random.PRNGKey(0), cfg)
     tok = get_tokenizer()
     task = get_dataset_config(DatasetType.VOXCELEB)
@@ -73,13 +82,14 @@ def main():
                            pad_token_id=tok.pad_token_id)
     fn = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
 
-    # compile + warmup
-    fn(params, dev)[0].block_until_ready()
+    # compile + warmup; np.asarray forces a device→host sync (on this box the
+    # tunneled backend's block_until_ready returns before execution finishes)
+    np.asarray(fn(params, dev))
 
     times = []
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
-        fn(params, dev)[0].block_until_ready()
+        np.asarray(fn(params, dev))
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     utts_per_sec = BATCH / p50
@@ -90,15 +100,16 @@ def main():
         with open(baseline_path) as f:
             base = json.load(f)
         # only compare like-for-like model configs
-        if base.get("value") and base.get("model") == "salmonn-tiny":
+        if base.get("value") and base.get("model") == model_name:
             vs_baseline = round(utts_per_sec / base["value"], 3)
 
     print(json.dumps({
-        "metric": f"utterances/sec, SALMONN k={K_SHOTS} ICL inference (VoxCeleb, batch={BATCH}, 10 new tokens)",
+        "metric": f"utterances/sec, {model_name} k={K_SHOTS} ICL inference (VoxCeleb, batch={BATCH}, 10 new tokens)",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": vs_baseline,
         "p50_batch_latency_s": round(p50, 4),
+        "model": model_name,
         "device": str(jax.devices()[0]),
     }))
 

@@ -59,6 +59,8 @@ def collate_icl_batch(
     from ..utils.native import pack_audio_block
 
     wavs = pack_audio_block(flat, N_SAMPLES).reshape(B, n_slots, N_SAMPLES)
-    batch.audio["wavs"] = wavs
+    # ship as int16: halves host->device transfer; device converts back
+    # (source audio is 16-bit PCM anyway)
+    batch.audio["wavs"] = np.clip(wavs * 32767.0, -32768, 32767).astype(np.int16)
     batch.labels_shifted = shift_labels(batch.labels)
     return batch

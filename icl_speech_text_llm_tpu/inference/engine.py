@@ -34,7 +34,7 @@ from ..models.llama import (
     lm_logits,
 )
 from ..ops.attention import make_decode_mask, make_prefill_mask
-from ..ops.mel import log_mel_spectrogram
+from ..ops.mel import log_mel_spectrogram, wavs_to_float
 
 # NB: models.salmonn is imported lazily inside salmonn_generate — importing it
 # at module level closes a cycle through models/__init__ → factory → engine.
@@ -139,7 +139,7 @@ def salmonn_generate(
     from ..models.salmonn import assemble_sequence, encode_speech
 
     B = batch["text_tokens"].shape[0]
-    wavs = batch["wavs"]
+    wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
     dt = cfg.compute_dtype
 

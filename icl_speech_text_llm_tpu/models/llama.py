@@ -75,6 +75,12 @@ DECODER_CONFIGS: Dict[str, DecoderConfig] = {
         vocab_size=36764, dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
         hidden_dim=352, max_seq_len=2048,
     ),
+    # Benchmark model: head_dim 128 (flash-attention path), ~150M params —
+    # the fixed config bench.py measures across rounds
+    "bench": DecoderConfig(
+        vocab_size=36764, dim=1024, n_layers=8, n_heads=8, n_kv_heads=4,
+        hidden_dim=2816, max_seq_len=2048,
+    ),
 }
 
 

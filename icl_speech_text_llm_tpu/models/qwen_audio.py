@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..data.packing import PackedBatch
 from ..ops.attention import make_prefill_mask
-from ..ops.mel import log_mel_spectrogram
+from ..ops.mel import log_mel_spectrogram, wavs_to_float
 from .common import dense_init
 from .llama import (
     DECODER_CONFIGS,
@@ -119,7 +119,7 @@ def _assemble(cfg, params, text_tokens, audio, gather_idx):
 
 def _encode_batch_audio(cfg, params, batch):
     B = batch["text_tokens"].shape[0]
-    wavs = batch["wavs"]
+    wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
     flat = wavs.reshape(B * n_slots, wavs.shape[-1])
     mels = log_mel_spectrogram(flat)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..data.packing import PackedBatch
 from ..ops.attention import make_prefill_mask
-from ..ops.mel import log_mel_spectrogram
+from ..ops.mel import log_mel_spectrogram, wavs_to_float
 from .beats import BEATS_CONFIGS, BeatsConfig, beats_encode, init_beats
 from .llama import (
     DECODER_CONFIGS,
@@ -75,6 +75,21 @@ def salmonn_7b() -> SalmonnConfig:
         beats=BEATS_CONFIGS["iter3-as2m"],
         qformer=QFORMER_CONFIGS["salmonn-7b"],
         llm=DECODER_CONFIGS["vicuna-7b"],
+        lora=LoraConfig(rank=8, alpha=32.0, targets=("wq", "wv")),
+        compute_dtype=jnp.bfloat16,
+    )
+
+
+def salmonn_bench() -> SalmonnConfig:
+    """Fixed benchmark config: full topology, head_dim-128 LLM (flash path),
+    bf16 — comparable across rounds on one v5e chip."""
+    return SalmonnConfig(
+        whisper=WhisperEncoderConfig(dim=512, n_heads=8, n_layers=8),
+        beats=BeatsConfig(dim=256, embed_dim=128, n_heads=4, n_layers=4,
+                          conv_pos=64, conv_pos_groups=8),
+        qformer=QFormerConfig(encoder_width=512 + 256, dim=256, n_heads=4,
+                              n_layers=2, llm_dim=1024),
+        llm=DECODER_CONFIGS["bench"],
         lora=LoraConfig(rank=8, alpha=32.0, targets=("wq", "wv")),
         compute_dtype=jnp.bfloat16,
     )
@@ -160,7 +175,7 @@ def salmonn_train_loss(
     ``lora_params`` overrides params["lora"] so gradients flow only through it.
     """
     B = batch["text_tokens"].shape[0]
-    wavs = batch["wavs"]
+    wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
     flat_wavs = wavs.reshape(B * n_slots, wavs.shape[-1])
     mels = log_mel_spectrogram(flat_wavs)

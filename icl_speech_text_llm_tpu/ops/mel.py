@@ -107,6 +107,13 @@ def _frame_indices(n_frames: int = N_FRAMES) -> np.ndarray:
     return (starts[:, None] + np.arange(N_FFT)[None, :]).astype(np.int32)
 
 
+def wavs_to_float(wavs: jnp.ndarray) -> jnp.ndarray:
+    """Undo the collator's int16 transport encoding (no-op for float input)."""
+    if jnp.issubdtype(wavs.dtype, jnp.integer):
+        return wavs.astype(jnp.float32) / 32768.0
+    return wavs
+
+
 def pad_or_trim(wav: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
     """Zero-pad / truncate the last axis to ``length`` (Whisper semantics)."""
     n = wav.shape[-1]

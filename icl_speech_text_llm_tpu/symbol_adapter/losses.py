@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..models.llama import cross_entropy_loss, decoder_forward, embed_tokens, lm_logits
 from ..models.salmonn import SalmonnConfig, encode_speech
 from ..ops.attention import make_prefill_mask
-from ..ops.mel import log_mel_spectrogram
+from ..ops.mel import log_mel_spectrogram, wavs_to_float
 from .mlp_adapter import transform_label_embeddings
 
 
@@ -36,7 +36,7 @@ def mlp_salmonn_train_loss(
     of ``text_tokens``.
     """
     B = batch["text_tokens"].shape[0]
-    wavs = batch["wavs"]
+    wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
     dt = cfg.compute_dtype
     flat_wavs = wavs.reshape(B * n_slots, wavs.shape[-1])
