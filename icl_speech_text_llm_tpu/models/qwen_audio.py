@@ -143,12 +143,15 @@ def qwen_audio_train_loss(
     L = seq.shape[1]
     lengths = jnp.sum(batch["seq_mask"], axis=1)
     mask = make_prefill_mask(lengths, L)
+    from ..ops.flash_attention import flash_attention_usable
+    flash_lengths = lengths if flash_attention_usable(L, cfg.llm.hd) else None
     positions = jnp.broadcast_to(jnp.arange(L), (B, L))
     lora = lora_params if lora_params is not None else params.get("lora")
     scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
     hidden, _ = decoder_forward(
         cfg.llm, params["llm"], seq, mask, positions,
         lora=lora, lora_scaling=scaling, remat=remat,
+        flash_lengths=flash_lengths,
     )
     logits = lm_logits(cfg.llm, params["llm"], hidden)
     return cross_entropy_loss(logits, batch["shifted_labels"])

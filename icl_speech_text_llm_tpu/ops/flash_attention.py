@@ -14,8 +14,13 @@ the sample's length are skipped before any MXU work.
 
 Used for head_dim ≥ MIN_LANES tensors (the LLM's 128); the XLA einsum path
 (ops/attention.py) remains the numerics oracle and the fallback for the small
-encoder heads. Inference-only for now: training uses the XLA path (flash
-backward kernels are future work).
+encoder heads.
+
+Training support: ``flash_attention`` carries a custom VJP. The forward kernel
+additionally emits the softmax statistics (running max m, sum l) as residuals;
+the backward recomputes P blockwise from (q, k, m, l) with a ``lax.scan`` over
+KV tiles — flash-attention's memory profile (no (S, S) materialization) with
+XLA-generated MXU matmuls.
 """
 
 from __future__ import annotations
@@ -38,6 +43,8 @@ def _flash_kernel(
     k_ref,  # (1, 1, block_k, D)
     v_ref,  # (1, 1, block_k, D)
     o_ref,  # (1, 1, block_q, D)
+    m_out_ref,  # (1, 1, 8, block_q) f32 — softmax running max (residual)
+    l_out_ref,  # (1, 1, 8, block_q) f32 — softmax sum (residual)
     m_scratch,  # (block_q, MIN_LANES) f32
     l_scratch,  # (block_q, MIN_LANES) f32
     acc_scratch,  # (block_q, D) f32
@@ -106,31 +113,15 @@ def _flash_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        # Mosaic block constraint: last two dims (8, block_q); sublanes replicated
+        m_out_ref[0, 0] = jnp.broadcast_to(m_scratch[...][:, 0][None, :], m_out_ref.shape[2:])
+        l_out_ref[0, 0] = jnp.broadcast_to(l_scratch[...][:, 0][None, :], l_out_ref.shape[2:])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
-)
-def flash_attention(
-    q: jnp.ndarray,  # (B, H, S, D)
-    k: jnp.ndarray,  # (B, H, S_kv, D)
-    v: jnp.ndarray,
-    lengths: Optional[jnp.ndarray] = None,  # (B,) valid KV length; None = all
-    causal: bool = True,
-    sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
-) -> jnp.ndarray:
-    """Flash attention forward. Requires S % block_q == 0, S_kv % block_k == 0,
-    D >= MIN_LANES (use ops.attention otherwise)."""
+def _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k):
+    """Raw kernel launch → (o, m (B,H,8,S) sublane-replicated, l same)."""
     B, H, S, D = q.shape
     S_kv = k.shape[2]
-    if sm_scale is None:
-        sm_scale = D**-0.5
-    if lengths is None:
-        lengths = jnp.full((B,), S_kv, jnp.int32)
-    lengths = lengths.astype(jnp.int32)
-
     grid = (B, H, S // block_q, S_kv // block_k)
     kernel = functools.partial(
         _flash_kernel,
@@ -150,18 +141,107 @@ def flash_attention(
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, h, qi, ki, *_: (b, h, 0, qi)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, h, qi, ki, *_: (b, h, 0, qi)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
                 pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, H, 8, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 8, S), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(lengths, q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_diff(q, k, v, lengths, causal, sm_scale, block_q, block_k):
+    o, _, _ = _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k)
+    return o
+
+
+def _flash_fwd_rule(q, k, v, lengths, causal, sm_scale, block_q, block_k):
+    o, m, l = _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k)
+    return o, (q, k, v, lengths, o, m[:, :, 0], l[:, :, 0])
+
+
+def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, do):
+    """Blockwise backward from saved (m, l): recompute P per KV tile with a
+    lax.scan — flash memory profile, XLA matmuls."""
+    q, k, v, lengths, o, m, l = res
+    B, H, S, D = q.shape
+    S_kv = k.shape[2]
+    n_blocks = S_kv // block_k
+
+    qf = q.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]  # (B,H,S,1)
+    m_e = m[..., None]
+    d_i = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)  # (B,H,S,1)
+    q_pos = jnp.arange(S)[None, None, :, None]
+
+    def body(dq_acc, j):
+        ks = jax.lax.dynamic_slice_in_dim(k, j * block_k, block_k, axis=2)
+        vs = jax.lax.dynamic_slice_in_dim(v, j * block_k, block_k, axis=2)
+        ksf = ks.astype(jnp.float32)
+        vsf = vs.astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, ksf) * sm_scale
+        kv_pos = j * block_k + jnp.arange(block_k)[None, None, None, :]
+        mask = kv_pos < lengths[:, None, None, None]
+        if causal:
+            mask = mask & (kv_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - m_e) / l_safe, 0.0)  # (B,H,S,bk)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vsf)
+        ds = p * (dp - d_i) * sm_scale
+        dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, ksf)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+        return dq_acc, (dk_j, dv_j)
+
+    dq, (dk_blocks, dv_blocks) = jax.lax.scan(
+        body, jnp.zeros_like(qf), jnp.arange(n_blocks)
+    )
+    # (n_blocks, B, H, bk, D) → (B, H, S_kv, D)
+    dk = jnp.moveaxis(dk_blocks, 0, 2).reshape(B, H, S_kv, D)
+    dv = jnp.moveaxis(dv_blocks, 0, 2).reshape(B, H, S_kv, D)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_flash_attention_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
+)
+def flash_attention(
+    q: jnp.ndarray,  # (B, H, S, D)
+    k: jnp.ndarray,  # (B, H, S_kv, D)
+    v: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid KV length; None = all
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Flash attention (differentiable). Requires S % block_q == 0,
+    S_kv % block_k == 0, D >= MIN_LANES (use ops.attention otherwise)."""
+    B, H, S, D = q.shape
+    S_kv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = D**-0.5
+    if lengths is None:
+        lengths = jnp.full((B,), S_kv, jnp.int32)
+    lengths = lengths.astype(jnp.int32)
+    return _flash_attention_diff(q, k, v, lengths, causal, sm_scale, block_q, block_k)
 
 
 def flash_attention_usable(seq_len: int, head_dim: int, block: int = 128) -> bool:

@@ -57,3 +57,28 @@ def test_usability_gate():
     assert flash_attention_usable(2048, 128)
     assert not flash_attention_usable(2048, 64)  # encoder heads → XLA path
     assert not flash_attention_usable(1000, 128)  # not block-aligned
+
+
+def test_gradients_match_xla():
+    """custom-vjp backward vs autodiff through the XLA oracle."""
+    q, k, v = _qkv(B=1, H=2, S=128, D=128, scale=0.3)
+    lengths = jnp.array([100])
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, lengths=lengths)
+        w = jnp.arange(out.size, dtype=out.dtype).reshape(out.shape) * 1e-3
+        mask = (jnp.arange(128) < 100)[None, None, :, None]
+        return jnp.sum(out * w * mask)
+
+    def loss_xla(q, k, v):
+        out = dot_product_attention(q, k, v, make_prefill_mask(lengths, 128))
+        w = jnp.arange(out.size, dtype=out.dtype).reshape(out.shape) * 1e-3
+        mask = (jnp.arange(128) < 100)[None, None, :, None]
+        return jnp.sum(out * w * mask)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        scale = np.abs(np.asarray(b)).max() + 1e-9
+        assert d.max() / scale < 2e-4, (name, d.max(), scale)
