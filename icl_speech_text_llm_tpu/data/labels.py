@@ -52,7 +52,7 @@ def format_label(
         return "; ".join(spans)
 
     if dataset_type in _VOXPOPULI_FAMILY and isinstance(label, dict):
-        if is_raw_ner:
+        if is_raw_ner and "type" in label:
             label = convert_ner_to_dict(text or "", label)
         keys = [k for k, v in label.items() if v]
         label = ", ".join(keys) if keys else "none"

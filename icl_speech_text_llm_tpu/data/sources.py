@@ -161,10 +161,14 @@ def make_synthetic_dataset(
         elif base == DatasetType.VOXPOPULI:
             tag = labels[i % len(labels)].upper()
             text = f"the parliament decision {i} in brussels"
-            item = {
-                config.text_key: text,
-                config.completion_key: {tag: [f"entity {i}"]} if i % 3 else {},
-            }
+            # main items carry raw start/length NER spans like the real corpus
+            # (converted via convert_ner_to_dict at item time)
+            ner = (
+                {"type": [tag], "start": [4], "length": [10]}
+                if i % 3
+                else {"type": [], "start": [], "length": []}
+            )
+            item = {config.text_key: text, config.completion_key: ner}
         elif base == DatasetType.SQA:
             item = {
                 config.text_key: f"the document says the answer is item {i}",

@@ -14,6 +14,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,13 +117,33 @@ def train(
         ck = load_checkpoint(settings.resume_from)
         state = state.replace(trainable=ck["trainable"],
                               step=jnp.asarray(ck.get("step", 0), jnp.int32))
+        if "opt_state" in ck:
+            # restore optimizer moments too (the reference restored optimizer
+            # state only in the symbol trainer — we do it everywhere)
+            try:
+                state = state.replace(
+                    opt_state=jax.tree_util.tree_map(
+                        lambda tmpl, saved: jnp.asarray(saved).astype(tmpl.dtype)
+                        if hasattr(tmpl, "dtype") else saved,
+                        state.opt_state, ck["opt_state"],
+                    )
+                )
+            except Exception as e:
+                logger.warning(f"optimizer state restore skipped ({e})")
         start_epoch = int(ck.get("meta", {}).get("epoch", 0))
         logger.info(f"Resumed from {settings.resume_from} at epoch {start_epoch}")
 
+    from ..data.pipeline import PrefetchIterator
+
     last_loss = float("nan")
     for epoch in range(start_epoch, settings.num_epochs):
-        for batch in iter_batches(train_dataset, settings.batch_size,
-                                  model.tokenizer, pack_cfg):
+        # background-thread prefetch overlaps host collation with device steps
+        # (the reference's DataLoader workers, ref: train/train.py:338-365)
+        batches = PrefetchIterator(
+            lambda: iter_batches(train_dataset, settings.batch_size,
+                                 model.tokenizer, pack_cfg), depth=2,
+        )
+        for batch in batches:
             state, metrics = step_fn(state, frozen, _device_batch(batch))
             last_loss = float(metrics["loss"])
             tracker.update(loss=last_loss, examples=batch.batch_size)

@@ -93,6 +93,9 @@ def init_train_state(
     trainable_keys=DEFAULT_TRAINABLE_KEYS,
 ) -> Tuple[TrainState, Dict[str, Any]]:
     trainable, frozen = split_params(params, trainable_keys)
+    # deep-copy the trainable subtree: the jitted step donates the TrainState's
+    # buffers, which would otherwise invalidate the caller's params tree
+    trainable = jax.tree_util.tree_map(jnp.array, trainable)
     opt_state = optimizer.init(trainable)
     return TrainState(trainable, opt_state, jnp.zeros((), jnp.int32)), frozen
 
