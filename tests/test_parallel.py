@@ -51,3 +51,23 @@ def test_sharded_loss_matches_single_device(cpu_devices):
     sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
     loss_sharded = float(jax.jit(lambda p, b: salmonn_train_loss(cfg, p, b))(sp, sb))
     assert loss_sharded == pytest.approx(loss_single, rel=1e-4)
+
+
+def test_multihost_single_host_degenerates(cpu_devices):
+    """Every multihost helper must no-op cleanly on one host."""
+    from icl_speech_text_llm_tpu.parallel import (
+        broadcast_from_main,
+        gather_predictions,
+        initialize_distributed,
+        is_main_process,
+        process_count,
+        sync_hosts,
+    )
+
+    assert initialize_distributed() == 0
+    assert is_main_process()
+    assert process_count() == 1
+    sync_hosts()
+    assert broadcast_from_main({"a": 1}) == {"a": 1}
+    rows = [{"x": 1}, {"x": 2}]
+    assert gather_predictions(rows) == rows

@@ -111,3 +111,30 @@ def test_generation_batch_order_independence(world):
     rev = run([1, 0])
     np.testing.assert_array_equal(fwd[0], rev[1])
     np.testing.assert_array_equal(fwd[1], rev[0])
+
+
+def test_sampled_generation_valid_and_varies(world):
+    """do_sample + top-p path: tokens in range; different seeds may differ."""
+    import jax
+
+    from icl_speech_text_llm_tpu.inference.engine import salmonn_generate
+
+    cfg, params, tok, pack_cfg = world
+    samples = _make_samples(2)
+    batch = collate_icl_batch(samples, tok, pack_cfg)
+    dev = {
+        "text_tokens": jnp.asarray(batch.text_tokens),
+        "gather_idx": jnp.asarray(batch.gather_idx),
+        "seq_lengths": jnp.asarray(batch.seq_lengths),
+        "wavs": jnp.asarray(batch.audio["wavs"]),
+    }
+    gen = GenerationConfig(max_new_tokens=4, do_sample=True, temperature=1.0,
+                           top_p=0.9, eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    t1 = np.asarray(salmonn_generate(cfg, gen, params, dev, rng=jax.random.PRNGKey(1)))
+    t2 = np.asarray(salmonn_generate(cfg, gen, params, dev, rng=jax.random.PRNGKey(2)))
+    assert t1.shape == (2, 4)
+    assert (t1 >= 0).all() and (t1 < cfg.llm.vocab_size).all()
+    # same seed reproduces exactly
+    t1b = np.asarray(salmonn_generate(cfg, gen, params, dev, rng=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(t1, t1b)
