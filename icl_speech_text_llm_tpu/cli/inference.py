@@ -112,6 +112,7 @@ def main(argv=None):
         synthetic=args.synthetic,
         synthetic_size=args.synthetic_size,
         seed=args.seed,
+        prompt_style="qwen" if args.model_type.lower().startswith("qwen") else "salmonn",
     )
 
     settings = InferenceSettings(

@@ -102,6 +102,7 @@ def main(argv=None):
         synthetic=args.synthetic,
         synthetic_size=args.synthetic_size,
         seed=args.seed,
+        prompt_style="qwen" if args.model_type.lower().startswith("qwen") else "salmonn",
     )
     train_ds = create_dataset(
         dataset_types if len(dataset_types) > 1 else dataset_types[0],
@@ -124,7 +125,12 @@ def main(argv=None):
     )
     optimizer = make_optimizer(opt)
     state, frozen = init_train_state(model.params, optimizer)
-    step_fn = make_train_step(model.cfg, optimizer, remat=args.gradient_checkpointing)
+    if args.model_type.lower().startswith("qwen"):
+        from ..models.qwen_audio import qwen_audio_train_loss as loss_fn
+    else:
+        from ..models.salmonn import salmonn_train_loss as loss_fn
+    step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
+                              remat=args.gradient_checkpointing)
 
     settings = TrainSettings(
         num_epochs=args.num_epochs, batch_size=args.batch_size,

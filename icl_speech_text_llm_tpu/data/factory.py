@@ -35,6 +35,7 @@ def create_dataset(
     synthetic: bool = False,
     synthetic_size: int = 32,
     seed: int = 0,
+    prompt_style: str = "salmonn",
 ):
     """Build an ICLDataset (single task) or MultiTaskICLDataset (several).
 
@@ -77,6 +78,7 @@ def create_dataset(
             randomize_swap=randomize_swap,
             audio_lookup=lookup,
             seed=seed,
+            prompt_style=prompt_style,
         )
 
     if len(built) == 1:

@@ -28,7 +28,7 @@ from ..registry import (
 )
 from .collate import ICLSample
 from .labels import format_label
-from .prompts import build_default_prompt, build_sqa_prompt
+from .prompts import build_default_prompt, build_qwen_prompt, build_sqa_prompt
 
 logger = logging.getLogger(__name__)
 
@@ -58,6 +58,7 @@ class ICLDataset:
         randomize_swap: bool = False,
         audio_lookup=None,
         seed: int = 0,
+        prompt_style: str = "salmonn",  # "salmonn" | "qwen" (ref get_processor)
     ):
         self.dataset_type = dataset_type
         self.dataset = dataset
@@ -68,6 +69,7 @@ class ICLDataset:
         self.split = split
         self.randomize_swap = randomize_swap
         self.audio_lookup = audio_lookup
+        self.prompt_style = prompt_style
         self.config = get_dataset_config(dataset_type)
         self.is_swap = dataset_type in SWAP_TYPES
         self.current_config: DatasetConfig = (
@@ -152,13 +154,19 @@ class ICLDataset:
         else:
             examples = self._fewshot_from_item(item)
 
-        plan = build_default_prompt(
-            cfg.prompt_template,
-            item[cfg.text_key],
-            examples,
-            input_mode=self.input_mode,
-            fewshot_mode=self.fewshot_mode,
-        )
+        if self.prompt_style == "qwen":
+            plan = build_qwen_prompt(
+                cfg.prompt_template, item[cfg.text_key], examples,
+                input_mode=self.input_mode, fewshot_mode=self.fewshot_mode,
+            )
+        else:
+            plan = build_default_prompt(
+                cfg.prompt_template,
+                item[cfg.text_key],
+                examples,
+                input_mode=self.input_mode,
+                fewshot_mode=self.fewshot_mode,
+            )
 
         slot_audio: Dict[tuple, np.ndarray] = {}
         for slot in plan.slots:
@@ -208,10 +216,19 @@ class ICLDataset:
                     }
                 )
 
-        plan = build_sqa_prompt(
-            cfg.prompt_template, item[cfg.text_key], item[q_key], examples,
-            input_mode=self.input_mode, fewshot_mode=self.fewshot_mode,
-        )
+        if self.prompt_style == "qwen":
+            from ..registry import DatasetType as _DT
+
+            plan = build_qwen_prompt(
+                cfg.prompt_template, item[cfg.text_key], examples,
+                input_mode=self.input_mode, fewshot_mode=self.fewshot_mode,
+                dataset_type=_DT.SQA, question=item[q_key],
+            )
+        else:
+            plan = build_sqa_prompt(
+                cfg.prompt_template, item[cfg.text_key], item[q_key], examples,
+                input_mode=self.input_mode, fewshot_mode=self.fewshot_mode,
+            )
         slot_audio: Dict[tuple, np.ndarray] = {}
         for slot in plan.slots:
             kind, i = slot

@@ -41,6 +41,15 @@ SALMONN_PRESETS = {
     "salmonn-13b": salmonn_13b,
     "salmonn-7b": salmonn_7b,
     "salmonn-tiny": salmonn_tiny,
+    "salmonn-bench": None,  # resolved lazily (imports salmonn_bench)
+}
+
+QWEN_PRESETS = {
+    "qwen2": "qwen2_audio_7b",
+    "qwen2-audio": "qwen2_audio_7b",
+    "qwen2-audio-7b": "qwen2_audio_7b",
+    "qwen2-audio-tiny": "qwen2_audio_tiny",
+    "qwen2-audio-smoke": "qwen2_audio_smoke",
 }
 
 
@@ -105,6 +114,84 @@ class SalmonnModel:
         return state.get("meta", {})
 
 
+class QwenAudioModel:
+    """High-level Qwen2-Audio model with the BaseModel-compatible surface
+    (ref equivalent: CustomQwen, models/custom_qwen.py)."""
+
+    def __init__(self, cfg, params, tokenizer, pack_cfg=None, generation=None):
+        from functools import partial as _partial
+
+        from ..inference.engine import GenerationConfig
+        from .qwen_audio import qwen_audio_generate, qwen_audio_train_loss
+
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.pack_cfg = pack_cfg or PackConfig(
+            audio_tokens_per_slot=cfg.audio_tokens_per_slot
+        )
+        self.gen = generation or GenerationConfig(
+            eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id
+        )
+        self._loss_fn = jax.jit(_partial(qwen_audio_train_loss, cfg))
+        self._gen_fn = jax.jit(_partial(qwen_audio_generate, cfg, self.gen))
+        # engine-protocol compatibility (inference runner calls model.engine.generate)
+        self.engine = self
+
+    def _dev(self, samples, train: bool):
+        batch = collate_icl_batch(list(samples), self.tokenizer, self.pack_cfg)
+        dev = {
+            "text_tokens": jnp.asarray(batch.text_tokens),
+            "gather_idx": jnp.asarray(batch.gather_idx),
+            "seq_mask": jnp.asarray(batch.seq_mask),
+            "seq_lengths": jnp.asarray(batch.seq_lengths),
+            "wavs": jnp.asarray(batch.audio["wavs"]),
+        }
+        if train:
+            dev["shifted_labels"] = jnp.asarray(batch.labels_shifted)
+        return dev
+
+    def forward(self, samples):
+        return {"loss": self._loss_fn(self.params, self._dev(samples, True))}
+
+    def generate(self, packed, audio):
+        """Engine-protocol generate over a PackedBatch (runner compatibility)."""
+        dev = {
+            "text_tokens": jnp.asarray(packed.text_tokens),
+            "gather_idx": jnp.asarray(packed.gather_idx),
+            "seq_lengths": jnp.asarray(packed.seq_lengths),
+            **{k: jnp.asarray(v) for k, v in audio.items()},
+        }
+        toks = np.asarray(self._gen_fn(self.params, dev))
+        return self._decode_rows(toks)
+
+    def _decode_rows(self, toks):
+        out = []
+        for row in toks:
+            ids = []
+            for t in row:
+                if t == self.gen.eos_token_id:
+                    break
+                ids.append(int(t))
+            out.append(self.tokenizer.decode(ids, skip_special_tokens=True))
+        return out
+
+    def generate_output(self, samples):
+        toks = np.asarray(self._gen_fn(self.params, self._dev(samples, False)))
+        return self._decode_rows(toks)
+
+    def get_speech_embeddings(self, wavs):
+        from ..ops.mel import log_mel_spectrogram
+        from .qwen_audio import encode_audio
+
+        return encode_audio(self.cfg, self.params, log_mel_spectrogram(jnp.asarray(wavs)))
+
+    def load_trainable(self, ckpt_dir: str):
+        state = load_checkpoint(ckpt_dir)
+        self.params = apply_trainable(self.params, state["trainable"])
+        return state.get("meta", {})
+
+
 def create_model(
     model_type: str = "salmonn-tiny",
     tokenizer: Optional[str] = None,
@@ -112,16 +199,30 @@ def create_model(
     pack_cfg: Optional[PackConfig] = None,
     generation=None,
     **_,
-) -> SalmonnModel:
-    """(ref: models/model_factory.py:29-97)"""
+):
+    """(ref: models/model_factory.py:29-97) — SALMONN and Qwen2-Audio families."""
     key = model_type.lower()
+    tok = get_tokenizer(tokenizer)
+    if key in QWEN_PRESETS:
+        from . import qwen_audio as qa
+        from .qwen_audio import init_qwen_audio
+
+        cfg = getattr(qa, QWEN_PRESETS[key])()
+        params = init_qwen_audio(jax.random.PRNGKey(seed), cfg)
+        logger.info(f"Created {key} (random init; convert weights via models/convert.py)")
+        return QwenAudioModel(cfg, params, tok, pack_cfg, generation)
     if key not in SALMONN_PRESETS:
         raise ValueError(
-            f"Unknown model type '{model_type}'; options: {sorted(SALMONN_PRESETS)}"
+            f"Unknown model type '{model_type}'; options: "
+            f"{sorted(SALMONN_PRESETS) + sorted(QWEN_PRESETS)}"
         )
-    cfg = SALMONN_PRESETS[key]()
+    if key == "salmonn-bench":
+        from .salmonn import salmonn_bench
+
+        cfg = salmonn_bench()
+    else:
+        cfg = SALMONN_PRESETS[key]()
     params = init_salmonn(jax.random.PRNGKey(seed), cfg)
-    tok = get_tokenizer(tokenizer)
     logger.info(f"Created {key} (random init; convert weights via models/convert.py)")
     return SalmonnModel(cfg, params, tok, pack_cfg, generation)
 

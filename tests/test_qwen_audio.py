@@ -78,3 +78,16 @@ def test_qwen_audio_loss_and_generate():
     toks = qwen_audio_generate(cfg, gen, params, dev)
     assert toks.shape == (2, 4)
     assert bool((toks >= 0).all())
+
+
+def test_factory_routes_qwen():
+    from icl_speech_text_llm_tpu.models.factory import QwenAudioModel, create_model
+
+    model = create_model("qwen2-audio-tiny")
+    assert isinstance(model, QwenAudioModel)
+    assert model.cfg.audio_tokens_per_slot == 750
+    assert model.engine is model  # engine protocol
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_model("not-a-model")
