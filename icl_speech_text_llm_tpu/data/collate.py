@@ -58,7 +58,13 @@ def collate_icl_batch(
             flat[b * n_slots + i] = s.slot_audio.get(slot)
     from ..utils.native import pack_audio_block
 
-    wavs = pack_audio_block(flat, N_SAMPLES).reshape(B, n_slots, N_SAMPLES)
+    # bucket the transport length to the batch's longest clip (5 s steps): the
+    # device pads to 30 s before encoding, so numerics are identical while
+    # host→device bytes shrink ~(30s / clip length)
+    bucket_step = 5 * 16000
+    longest = max((len(w) for w in flat if w is not None), default=bucket_step)
+    bucket = min(N_SAMPLES, -(-min(longest, N_SAMPLES) // bucket_step) * bucket_step)
+    wavs = pack_audio_block(flat, bucket).reshape(B, n_slots, bucket)
     # ship as int16: halves host->device transfer; device converts back
     # (source audio is 16-bit PCM anyway)
     batch.audio["wavs"] = np.clip(wavs * 32767.0, -32768, 32767).astype(np.int16)

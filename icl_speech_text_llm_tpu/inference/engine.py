@@ -34,7 +34,7 @@ from ..models.llama import (
     lm_logits,
 )
 from ..ops.attention import make_decode_mask, make_prefill_mask
-from ..ops.mel import log_mel_spectrogram, wavs_to_float
+from ..ops.mel import log_mel_spectrogram, pad_or_trim, wavs_to_float
 
 # NB: models.salmonn is imported lazily inside salmonn_generate — importing it
 # at module level closes a cycle through models/__init__ → factory → engine.
@@ -143,7 +143,7 @@ def salmonn_generate(
     n_slots = wavs.shape[1]
     dt = cfg.compute_dtype
 
-    flat_wavs = wavs.reshape(B * n_slots, wavs.shape[-1])
+    flat_wavs = pad_or_trim(wavs.reshape(B * n_slots, wavs.shape[-1]))
     mels = log_mel_spectrogram(flat_wavs)
     speech = encode_speech(
         cfg, params, mels, flat_wavs if cfg.beats is not None else None

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..data.packing import PackedBatch
 from ..ops.attention import make_prefill_mask
-from ..ops.mel import log_mel_spectrogram, wavs_to_float
+from ..ops.mel import log_mel_spectrogram, pad_or_trim, wavs_to_float
 from .common import dense_init
 from .llama import (
     DECODER_CONFIGS,
@@ -121,7 +121,7 @@ def _encode_batch_audio(cfg, params, batch):
     B = batch["text_tokens"].shape[0]
     wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
-    flat = wavs.reshape(B * n_slots, wavs.shape[-1])
+    flat = pad_or_trim(wavs.reshape(B * n_slots, wavs.shape[-1]))
     mels = log_mel_spectrogram(flat)
     audio = encode_audio(cfg, params, mels)
     return audio.reshape(B, n_slots, -1, cfg.llm.dim)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..data.packing import PackedBatch
 from ..ops.attention import make_prefill_mask
-from ..ops.mel import log_mel_spectrogram, wavs_to_float
+from ..ops.mel import log_mel_spectrogram, pad_or_trim, wavs_to_float
 from .beats import BEATS_CONFIGS, BeatsConfig, beats_encode, init_beats
 from .llama import (
     DECODER_CONFIGS,
@@ -178,6 +178,7 @@ def salmonn_train_loss(
     wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
     flat_wavs = wavs.reshape(B * n_slots, wavs.shape[-1])
+    flat_wavs = pad_or_trim(flat_wavs)  # restore 30 s before encoders
     mels = log_mel_spectrogram(flat_wavs)
     speech = encode_speech(
         cfg, params, mels, flat_wavs if cfg.beats is not None else None

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..models.llama import cross_entropy_loss, decoder_forward, embed_tokens, lm_logits
 from ..models.salmonn import SalmonnConfig, encode_speech
 from ..ops.attention import make_prefill_mask
-from ..ops.mel import log_mel_spectrogram, wavs_to_float
+from ..ops.mel import log_mel_spectrogram, pad_or_trim, wavs_to_float
 from .mlp_adapter import transform_label_embeddings
 
 
@@ -40,6 +40,7 @@ def mlp_salmonn_train_loss(
     n_slots = wavs.shape[1]
     dt = cfg.compute_dtype
     flat_wavs = wavs.reshape(B * n_slots, wavs.shape[-1])
+    flat_wavs = pad_or_trim(flat_wavs)  # restore 30 s before encoders
     mels = log_mel_spectrogram(flat_wavs)
     speech = encode_speech(cfg, params, mels, flat_wavs if cfg.beats is not None else None)
     speech = speech.reshape(B, n_slots, -1, cfg.llm.dim)

@@ -59,7 +59,8 @@ def test_collate_shapes(world):
     batch = collate_icl_batch(_make_samples(2), tok, pack_cfg)
     assert batch.text_tokens.shape == (2, 384)
     assert batch.gather_idx.shape == (2, 768)
-    assert batch.audio["wavs"].shape == (2, K + 1, 480000)
+    # wav transport is bucketed to the longest clip (2 s here → 5 s bucket)
+    assert batch.audio["wavs"].shape == (2, K + 1, 5 * 16000)
     assert batch.labels_shifted.shape == (2, 768)
     # prompt region has no labels; completion labelled
     assert (batch.labels[0, : batch.seq_lengths[0]] == -100).all()
