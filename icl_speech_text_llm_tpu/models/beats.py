@@ -40,6 +40,7 @@ class BeatsConfig:
     conv_pos: int = 128  # conv positional embedding kernel
     conv_pos_groups: int = 16
     mlp_ratio: int = 4
+    use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash
 
     @property
     def deep_norm_alpha(self) -> float:
@@ -47,7 +48,7 @@ class BeatsConfig:
 
 
 BEATS_CONFIGS: Dict[str, BeatsConfig] = {
-    "iter3-as2m": BeatsConfig(),
+    "iter3-as2m": BeatsConfig(),  # use_flash available; off by default
     "tiny-test": BeatsConfig(dim=64, embed_dim=32, n_heads=4, n_layers=2, conv_pos=16,
                              conv_pos_groups=4),
 }
@@ -168,7 +169,7 @@ def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(out, approximate=False)
 
 
-def _layer_forward(cfg: BeatsConfig, layer, x):
+def _layer_forward(cfg: BeatsConfig, layer, x, lengths=None):
     B, T, d = x.shape
     hd = d // cfg.n_heads
     a = layer["attn"]
@@ -176,9 +177,17 @@ def _layer_forward(cfg: BeatsConfig, layer, x):
     q = (x @ a["wq"].astype(dt) + a["bq"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     k = (x @ a["wk"].astype(dt) + a["bk"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     v = (x @ a["wv"].astype(dt) + a["bv"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
-    out = dot_product_attention(
-        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-    )
+    if lengths is not None:
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), lengths=lengths, causal=False,
+        )
+    else:
+        out = dot_product_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        )
     out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
     out = out @ a["wo"].astype(dt) + a["bo"].astype(dt)
     # deep-norm: residual scaled by alpha before post-LN
@@ -215,8 +224,18 @@ def beats_encode(
     x = layer_norm(x, params["ln_pre"]["w"], params["ln_pre"]["b"])
     x = x + _conv_pos_embed(cfg, params["conv_pos"], x)
 
+    lengths = None
+    n_tokens = x.shape[1]
+    if cfg.use_flash:
+        from ..ops.flash_attention import flash_attention_usable
+
+        pad_to = -(-n_tokens // 128) * 128
+        if flash_attention_usable(pad_to, cfg.dim // cfg.n_heads):
+            x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
+            lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
+
     def body(x, layer):
-        return _layer_forward(cfg, layer, x), None
+        return _layer_forward(cfg, layer, x, lengths), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    return x
+    return x[:, :n_tokens]

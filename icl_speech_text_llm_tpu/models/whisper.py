@@ -28,11 +28,14 @@ class WhisperEncoderConfig:
     dim: int = 1280
     n_heads: int = 20
     n_layers: int = 32
+    use_flash: bool = False  # pad 1500→1536 and run Pallas flash attention
 
 
 WHISPER_CONFIGS: Dict[str, WhisperEncoderConfig] = {
     # ref uses openai/whisper-large-v2 (models/custom_salmon.py:31)
-    "large-v2": WhisperEncoderConfig(),
+    "large-v2": WhisperEncoderConfig(),  # use_flash available; off by default
+    #   (measured: flash encoders were slower END-TO-END on this box despite a
+    #    faster isolated microbenchmark — XLA fuses non-causal attention well)
     "tiny-test": WhisperEncoderConfig(dim=64, n_heads=4, n_layers=2),
 }
 
@@ -88,7 +91,9 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.
     return out + b.astype(x.dtype)
 
 
-def _block_forward(cfg: WhisperEncoderConfig, block, x: jnp.ndarray) -> jnp.ndarray:
+def _block_forward(
+    cfg: WhisperEncoderConfig, block, x: jnp.ndarray, lengths=None
+) -> jnp.ndarray:
     B, T, d = x.shape
     h = layer_norm(x, block["ln1"]["w"], block["ln1"]["b"])
     a = block["attn"]
@@ -99,7 +104,12 @@ def _block_forward(cfg: WhisperEncoderConfig, block, x: jnp.ndarray) -> jnp.ndar
     q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-    out = dot_product_attention(q, k, v)  # full bidirectional, no mask
+    if lengths is not None:
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, lengths=lengths, causal=False)
+    else:
+        out = dot_product_attention(q, k, v)  # full bidirectional, no mask
     out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
     x = x + (out @ a["wo"].astype(x.dtype) + a["bo"].astype(x.dtype))
 
@@ -122,8 +132,19 @@ def whisper_encode(
     x = jax.nn.gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2), approximate=False)
     x = x + params["positions"].astype(dtype)[None, : x.shape[1]]
 
+    lengths = None
+    n_ctx = x.shape[1]
+    if cfg.use_flash:
+        from ..ops.flash_attention import flash_attention_usable
+
+        pad_to = -(-n_ctx // 128) * 128  # 1500 → 1536
+        if flash_attention_usable(pad_to, cfg.dim // cfg.n_heads):
+            x = jnp.pad(x, ((0, 0), (0, pad_to - n_ctx), (0, 0)))
+            lengths = jnp.full((x.shape[0],), n_ctx, jnp.int32)
+
     def body(x, block):
-        return _block_forward(cfg, block, x), None
+        return _block_forward(cfg, block, x, lengths), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = x[:, :n_ctx]
     return layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"])

@@ -245,5 +245,9 @@ def flash_attention(
 
 
 def flash_attention_usable(seq_len: int, head_dim: int, block: int = 128) -> bool:
-    """Whether shapes satisfy the kernel's static constraints."""
-    return head_dim >= MIN_LANES and seq_len % block == 0
+    """Whether shapes satisfy the kernel's static constraints.
+
+    head_dim needs no 128 alignment — blocks span the full D, which Mosaic
+    accepts (verified on-device at D=64); require a multiple of 64 to stay on
+    well-tiled layouts."""
+    return head_dim % 64 == 0 and head_dim >= 64 and seq_len % block == 0

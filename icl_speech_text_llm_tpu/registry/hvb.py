@@ -96,46 +96,24 @@ HVB_GREEK_CONFIG = HVB_CONFIG.with_overrides(
     label_mapping=dict(zip(HVB_LABELS, GREEK_LABELS)),
 )
 
-# Label permutations for swap variants (ref: data/hvb_config.py:252-322).
-HVB_PERMUTATIONS = [
-    HVB_LABELS,
-    ["question_check", "question_general", "question_repeat", "acknowledge",
-     "answer_agree", "answer_dis", "answer_general", "apology", "backchannel",
-     "disfluency", "other", "self", "statement_close", "statement_general",
-     "statement_instruct", "statement_open", "statement_problem", "thanks"],
-    ["statement_close", "statement_general", "statement_instruct", "statement_open",
-     "statement_problem", "acknowledge", "answer_agree", "answer_dis", "answer_general",
-     "apology", "backchannel", "disfluency", "other", "question_check",
-     "question_general", "question_repeat", "self", "thanks"],
-    ["answer_agree", "answer_dis", "answer_general", "acknowledge", "apology",
-     "backchannel", "disfluency", "other", "question_check", "question_general",
-     "question_repeat", "self", "statement_close", "statement_general",
-     "statement_instruct", "statement_open", "statement_problem", "thanks"],
-    ["acknowledge", "backchannel", "disfluency", "self", "answer_agree",
-     "answer_dis", "answer_general", "question_check", "question_general",
-     "question_repeat", "statement_close", "statement_general", "statement_instruct",
-     "statement_open", "statement_problem", "apology", "thanks", "other"],
-    ["thanks", "statement_problem", "statement_open", "statement_instruct",
-     "statement_general", "statement_close", "self", "question_repeat",
-     "question_general", "question_check", "other", "disfluency", "backchannel",
-     "apology", "answer_general", "answer_dis", "answer_agree", "acknowledge"],
-    ["statement_open", "question_general", "answer_general", "question_check",
-     "answer_agree", "answer_dis", "acknowledge", "backchannel", "disfluency",
-     "question_repeat", "statement_general", "statement_problem", "statement_instruct",
-     "apology", "self", "other", "statement_close", "thanks"],
-    ["question_general", "question_check", "question_repeat", "answer_general",
-     "answer_agree", "answer_dis", "statement_general", "statement_open",
-     "statement_close", "statement_problem", "statement_instruct", "acknowledge",
-     "backchannel", "disfluency", "self", "apology", "thanks", "other"],
-    ["question_general", "answer_general", "statement_general", "question_check",
-     "answer_agree", "statement_open", "question_repeat", "answer_dis",
-     "statement_close", "acknowledge", "backchannel", "statement_problem",
-     "disfluency", "self", "statement_instruct", "apology", "thanks", "other"],
-    ["statement_instruct", "statement_general", "question_general", "answer_general",
-     "statement_problem", "question_check", "answer_agree", "answer_dis",
-     "statement_open", "statement_close", "acknowledge", "question_repeat",
-     "backchannel", "disfluency", "self", "apology", "thanks", "other"],
+# Label permutations for swap variants, expressed as index permutations over
+# HVB_LABELS (values identical to the reference's hand-written orderings,
+# ref: data/hvb_config.py:252-322: question-first, statements-first,
+# answers-first, similarity groups, reverse, conversation-flow, response-type,
+# alternating, formality).
+_HVB_PERM_INDICES = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17],
+    [8, 9, 10, 0, 1, 2, 3, 4, 5, 6, 7, 11, 12, 13, 14, 15, 16, 17],
+    [12, 13, 14, 15, 16, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 17],
+    [1, 2, 3, 0, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17],
+    [0, 5, 6, 11, 1, 2, 3, 8, 9, 10, 12, 13, 14, 15, 16, 4, 17, 7],
+    [17, 16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0],
+    [15, 9, 3, 8, 1, 2, 0, 5, 6, 10, 13, 16, 14, 4, 11, 7, 12, 17],
+    [9, 8, 10, 3, 1, 2, 13, 15, 12, 16, 14, 0, 5, 6, 11, 4, 17, 7],
+    [9, 3, 13, 8, 1, 15, 10, 2, 12, 0, 5, 16, 6, 11, 14, 4, 17, 7],
+    [14, 13, 9, 3, 16, 8, 1, 2, 15, 12, 0, 10, 5, 6, 11, 4, 17, 7],
 ]
+HVB_PERMUTATIONS = [[HVB_LABELS[i] for i in perm] for perm in _HVB_PERM_INDICES]
 
 HVB_SWAP_CONFIGS = make_swap_variants(
     HVB_CONFIG,

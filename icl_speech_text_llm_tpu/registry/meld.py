@@ -102,19 +102,18 @@ MELD_EMOTION_GREEK_CONFIG = MELD_EMOTION_CONFIG.with_overrides(
     },
 )
 
-# Swap permutations over the original emotion labels
-# (ref: data/meld_emotion_config.py:124-154).
+# Swap permutations as index permutations over MELD_EMOTION_LABELS
+# (ref: data/meld_emotion_config.py:124-154: original, valence, intensity,
+# Ekman-first, alphabetical, reverse, social/survival, approach/avoidance,
+# conversational frequency, complexity).
+_ME_PERM_INDICES = [
+    [0, 1, 2, 3, 4, 5, 6], [0, 1, 6, 2, 3, 4, 5], [0, 2, 1, 5, 6, 4, 3],
+    [1, 2, 3, 4, 5, 6, 0], [3, 5, 4, 1, 0, 2, 6], [6, 5, 4, 3, 2, 1, 0],
+    [1, 2, 0, 6, 3, 4, 5], [1, 3, 6, 2, 4, 5, 0], [0, 1, 3, 2, 6, 4, 5],
+    [0, 1, 3, 4, 5, 2, 6],
+]
 MELD_EMOTION_PERMUTATIONS = [
-    ["neutral", "joy", "sadness", "anger", "fear", "disgust", "surprise"],
-    ["neutral", "joy", "surprise", "sadness", "anger", "fear", "disgust"],
-    ["neutral", "sadness", "joy", "disgust", "surprise", "fear", "anger"],
-    ["joy", "sadness", "anger", "fear", "disgust", "surprise", "neutral"],
-    ["anger", "disgust", "fear", "joy", "neutral", "sadness", "surprise"],
-    ["surprise", "disgust", "fear", "anger", "sadness", "joy", "neutral"],
-    ["joy", "sadness", "neutral", "surprise", "anger", "fear", "disgust"],
-    ["joy", "anger", "surprise", "sadness", "fear", "disgust", "neutral"],
-    ["neutral", "joy", "anger", "sadness", "surprise", "fear", "disgust"],
-    ["neutral", "joy", "anger", "fear", "disgust", "sadness", "surprise"],
+    [MELD_EMOTION_LABELS[i] for i in p] for p in _ME_PERM_INDICES
 ]
 
 

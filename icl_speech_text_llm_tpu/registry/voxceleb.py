@@ -50,16 +50,11 @@ VOXCELEB_GREEK_CONFIG = VOXCELEB_CONFIG.with_overrides(
     label_mapping={"positive": "alpha", "negative": "beta", "neutral": "gamma"},
 )
 
-# Greek-label permutations used for swap variants
-# (ref: data/voxceleb_config.py:140-149,151-173).
-VOXCELEB_PERMUTATIONS_GREEKS = [
-    ["beta", "alpha", "gamma"],
-    ["beta", "gamma", "alpha"],
-    ["alpha", "gamma", "beta"],
-    ["alpha", "beta", "gamma"],
-    ["gamma", "beta", "alpha"],
-    ["gamma", "alpha", "beta"],
-]
+# Greek-label permutations for swap variants as index permutations
+# (ref: data/voxceleb_config.py:140-149).
+_GREEK = ["alpha", "beta", "gamma"]
+_VOX_PERM_INDICES = [[1, 0, 2], [1, 2, 0], [0, 2, 1], [0, 1, 2], [2, 1, 0], [2, 0, 1]]
+VOXCELEB_PERMUTATIONS_GREEKS = [[_GREEK[i] for i in p] for p in _VOX_PERM_INDICES]
 
 VOXCELEB_SWAP_CONFIGS = make_swap_variants(
     VOXCELEB_CONFIG,

@@ -65,19 +65,13 @@ VOXPOPULI_GREEK_CONFIG = VOXPOPULI_CONFIG.with_overrides(
     label_mapping=dict(zip(VOXPOPULI_LABELS, ZETA_LABELS)),
 )
 
-# Greek permutations used to build swap variants (ref: data/voxpopuli_config.py:163-194).
-VOXPOPULI_GREEK_PERMUTATIONS = [
-    ["zeta1", "zeta2", "zeta3", "zeta4", "zeta5", "zeta6", "zeta7"],
-    ["zeta2", "zeta3", "zeta4", "zeta5", "zeta6", "zeta7", "zeta1"],
-    ["zeta3", "zeta4", "zeta5", "zeta6", "zeta7", "zeta1", "zeta2"],
-    ["zeta4", "zeta5", "zeta6", "zeta7", "zeta1", "zeta2", "zeta3"],
-    ["zeta5", "zeta6", "zeta7", "zeta1", "zeta2", "zeta3", "zeta4"],
-    ["zeta6", "zeta7", "zeta1", "zeta2", "zeta3", "zeta4", "zeta5"],
-    ["zeta7", "zeta1", "zeta2", "zeta3", "zeta4", "zeta5", "zeta6"],
-    ["zeta4", "zeta2", "zeta3", "zeta5", "zeta1", "zeta6", "zeta7"],
-    ["zeta1", "zeta7", "zeta6", "zeta2", "zeta3", "zeta4", "zeta5"],
-    ["zeta7", "zeta6", "zeta5", "zeta4", "zeta3", "zeta2", "zeta1"],
-]
+# Greek permutations for swap variants: 7 rotations + people-group,
+# abstract-first, reverse (ref: data/voxpopuli_config.py:163-194).
+_VP_PERM_INDICES = (
+    [[(r + i) % 7 for i in range(7)] for r in range(7)]
+    + [[3, 1, 2, 4, 0, 5, 6], [0, 6, 5, 1, 2, 3, 4], [6, 5, 4, 3, 2, 1, 0]]
+)
+VOXPOPULI_GREEK_PERMUTATIONS = [[ZETA_LABELS[i] for i in p] for p in _VP_PERM_INDICES]
 
 VOXPOPULI_SWAP_CONFIGS = make_swap_variants(
     VOXPOPULI_CONFIG,

@@ -55,7 +55,8 @@ def test_full_length_default():
 
 def test_usability_gate():
     assert flash_attention_usable(2048, 128)
-    assert not flash_attention_usable(2048, 64)  # encoder heads → XLA path
+    assert flash_attention_usable(1536, 64)  # encoder heads (verified on-device)
+    assert not flash_attention_usable(2048, 32)  # tiny test models → XLA path
     assert not flash_attention_usable(1000, 128)  # not block-aligned
 
 
@@ -82,3 +83,24 @@ def test_gradients_match_xla():
         d = np.abs(np.asarray(a) - np.asarray(b))
         scale = np.abs(np.asarray(b)).max() + 1e-9
         assert d.max() / scale < 2e-4, (name, d.max(), scale)
+
+
+def test_whisper_encoder_flash_option_matches_xla():
+    """use_flash=True pads 1500→1536 + length-masks; output must match XLA."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.whisper import (
+        WhisperEncoderConfig,
+        init_whisper_encoder,
+        whisper_encode,
+    )
+
+    cfg = WhisperEncoderConfig(dim=64, n_heads=1, n_layers=1)
+    params = init_whisper_encoder(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 80, 3000)) * 0.3
+    ref = np.asarray(whisper_encode(cfg, params, mel))
+    out = np.asarray(
+        whisper_encode(dataclasses.replace(cfg, use_flash=True), params, mel)
+    )
+    assert out.shape == ref.shape == (1, 1500, 64)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
