@@ -256,3 +256,25 @@ def _find(sd: Mapping[str, np.ndarray], pattern: str):
         if re.search(pattern, k):
             return k
     return None
+
+
+def convert_hf_qwen_audio(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Qwen2AudioForConditionalGeneration state dict → QwenAudio param tree.
+
+    HF layout: audio_tower.* (whisper-style encoder + final layer_norm),
+    multi_modal_projector.linear.*, language_model.* (Qwen2 decoder).
+    """
+    encoder = convert_hf_whisper_encoder(sd, cfg.encoder, prefix="audio_tower.")
+    llm = convert_hf_decoder(
+        {k.replace("language_model.", ""): v for k, v in sd.items()
+         if k.startswith("language_model.")},
+        cfg.llm,
+    )
+    return {
+        "encoder": encoder,
+        "projector": {
+            "w": _t(sd["multi_modal_projector.linear.weight"]),
+            "b": sd["multi_modal_projector.linear.bias"],
+        },
+        "llm": llm,
+    }

@@ -98,12 +98,20 @@ def init_qwen_audio(key, cfg: QwenAudioConfig) -> Dict[str, Any]:
 def encode_audio(
     cfg: QwenAudioConfig, params: Dict[str, Any], mels: jnp.ndarray
 ) -> jnp.ndarray:
-    """(N, 80, 3000) mel → (N, 750, llm_dim) audio positions."""
+    """(N, 80, 3000) mel → (N, 750, llm_dim) audio positions.
+
+    HF order (Qwen2AudioEncoder.forward): layers → avg_pool(2) → final
+    layer_norm → projector. Pooling happens BEFORE the final LN."""
+    from .common import layer_norm
+
     dt = cfg.compute_dtype
-    feats = whisper_encode(cfg.encoder, params["encoder"], mels, dtype=dt)  # (N,1500,D)
+    feats = whisper_encode(cfg.encoder, params["encoder"], mels, dtype=dt,
+                           apply_ln_post=False)  # (N,1500,D), pre-LN
     N, T, D = feats.shape
     s = cfg.pool_stride
     pooled = feats[:, : (T // s) * s].reshape(N, T // s, s, D).mean(axis=2)
+    ln = params["encoder"]["ln_post"]
+    pooled = layer_norm(pooled, ln["w"], ln["b"])
     return pooled @ params["projector"]["w"].astype(dt) + params["projector"]["b"].astype(dt)
 
 

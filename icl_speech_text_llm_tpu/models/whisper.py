@@ -125,8 +125,12 @@ def whisper_encode(
     params: Dict[str, Any],
     mel: jnp.ndarray,  # (B, n_mels, 3000)
     dtype=jnp.float32,
+    apply_ln_post: bool = True,
 ) -> jnp.ndarray:
-    """Mel spectrogram → (B, 1500, dim) encoder states."""
+    """Mel spectrogram → (B, 1500, dim) encoder states.
+
+    ``apply_ln_post=False`` returns pre-final-LN states (Qwen2-Audio pools
+    BEFORE the final layer norm)."""
     x = mel.astype(dtype).transpose(0, 2, 1)  # (B, 3000, n_mels)
     x = jax.nn.gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2), approximate=False)
@@ -147,4 +151,6 @@ def whisper_encode(
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = x[:, :n_ctx]
+    if not apply_ln_post:
+        return x
     return layer_norm(x, params["ln_post"]["w"], params["ln_post"]["b"])

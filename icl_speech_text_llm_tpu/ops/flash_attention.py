@@ -245,9 +245,12 @@ def flash_attention(
 
 
 def flash_attention_usable(seq_len: int, head_dim: int, block: int = 128) -> bool:
-    """Whether shapes satisfy the kernel's static constraints.
+    """Whether the Pallas kernel can serve these shapes on this backend.
 
     head_dim needs no 128 alignment — blocks span the full D, which Mosaic
     accepts (verified on-device at D=64); require a multiple of 64 to stay on
-    well-tiled layouts."""
+    well-tiled layouts. Pallas-Mosaic only lowers on TPU, so non-TPU backends
+    (CPU smoke runs, the 8-device virtual mesh) fall back to XLA attention."""
+    if jax.default_backend() != "tpu":
+        return False
     return head_dim % 64 == 0 and head_dim >= 64 and seq_len % block == 0

@@ -107,8 +107,11 @@ class TinyTokenizer:
                 continue
             if tid < 260:  # raw byte token
                 out.append(tid - 4)
-            else:  # multi-char pieces are pure ASCII
+            elif tid - 4 < len(self._pieces):  # multi-char pieces are pure ASCII
                 out.extend(self._pieces[tid - 4].encode("ascii"))
+            # ids in the padded tail of the model's vocab (vocab_size is
+            # rounded up for MXU-friendly lm_head shapes) decode to nothing,
+            # matching HF's behavior for ids outside the tokenizer vocab
         return out.decode("utf-8", errors="replace")
 
     def batch_decode(self, batch, skip_special_tokens: bool = True) -> List[str]:

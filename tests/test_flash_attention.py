@@ -53,7 +53,11 @@ def test_full_length_default():
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 3e-5
 
 
-def test_usability_gate():
+def test_usability_gate(monkeypatch):
+    # on a non-TPU backend the gate is unconditionally off (Pallas-Mosaic
+    # only lowers on TPU) — the CLI --platform cpu smoke relies on this
+    assert not flash_attention_usable(2048, 128)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert flash_attention_usable(2048, 128)
     assert flash_attention_usable(1536, 64)  # encoder heads (verified on-device)
     assert not flash_attention_usable(2048, 32)  # tiny test models → XLA path
@@ -103,4 +107,23 @@ def test_whisper_encoder_flash_option_matches_xla():
         whisper_encode(dataclasses.replace(cfg, use_flash=True), params, mel)
     )
     assert out.shape == ref.shape == (1, 1500, 64)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_beats_encoder_flash_option_matches_xla():
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.beats import (
+        BeatsConfig,
+        beats_encode,
+        init_beats,
+    )
+
+    cfg = BeatsConfig(dim=64, embed_dim=32, n_heads=1, n_layers=1, conv_pos=16,
+                      conv_pos_groups=4)
+    params = init_beats(jax.random.PRNGKey(0), cfg)
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, 16000 * 2)) * 0.05
+    ref = np.asarray(beats_encode(cfg, params, wav))
+    out = np.asarray(beats_encode(dataclasses.replace(cfg, use_flash=True), params, wav))
+    assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
