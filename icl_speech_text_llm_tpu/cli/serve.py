@@ -1,0 +1,131 @@
+"""Continuous-batching serving demo CLI.
+
+Streams dataset samples as individual requests through the slot-pool engine
+(`inference/serving.py`) instead of static batches — the serving-scale decode
+path the reference lacks (its inference loop is whole-dataset batching,
+ref: inference/inference.py:303-380).
+
+Hermetic example:
+    python -m icl_speech_text_llm_tpu.cli.serve \
+        --model_type salmonn-tiny --dataset_type voxceleb --synthetic \
+        --max_samples 8 --num_slots 4 --platform cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..data.collate import collate_icl_batch
+from ..data.factory import create_dataset
+from ..data.packing import PackConfig
+from ..inference.serving import (
+    ContinuousBatchingEngine,
+    ServingConfig,
+    salmonn_prompt_embeddings,
+)
+from ..models.factory import create_model
+from ..registry import DatasetSplit, parse_dataset_types
+from ..utils.tokenization import get_tokenizer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Slot-pool continuous-batching serving demo")
+    p.add_argument("--model_type", type=str, default="salmonn-tiny",
+                   help="SALMONN-family preset (qwen serving: use the static engine)")
+    p.add_argument("--dataset_type", type=str, default="voxceleb")
+    p.add_argument("--split", type=str, default="test",
+                   choices=["train", "validation", "test"])
+    p.add_argument("--input_mode", type=str, default="speech_only")
+    p.add_argument("--fewshot_mode", type=str, default="text")
+    p.add_argument("--num_examples", type=int, default=1)
+    p.add_argument("--max_samples", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=10)
+    p.add_argument("--num_slots", type=int, default=4)
+    p.add_argument("--prompt_buckets", type=str, default="256,512",
+                   help="comma-separated prompt-length buckets")
+    p.add_argument("--seq_len", type=int, default=512)
+    p.add_argument("--text_len", type=int, default=384)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic_size", type=int, default=32)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if not args.model_type.lower().startswith("salmonn"):
+        raise SystemExit("serve: only SALMONN-family presets are supported for now")
+
+    tok = get_tokenizer(None)
+    model = create_model(args.model_type, seed=args.seed)
+    dataset_types = parse_dataset_types(args.dataset_type)
+    dataset = create_dataset(
+        dataset_types[0], split=DatasetSplit(args.split),
+        input_mode=args.input_mode, fewshot_mode=args.fewshot_mode,
+        num_examples=args.num_examples, is_training=False,
+        max_samples=args.max_samples, synthetic=args.synthetic,
+        synthetic_size=args.synthetic_size, seed=args.seed,
+    )
+    buckets = tuple(int(b) for b in args.prompt_buckets.split(","))
+    pack_cfg = PackConfig(
+        seq_len=args.seq_len, text_len=args.text_len,
+        max_slots=args.num_examples + 1 if args.fewshot_mode == "speech" else 1,
+        audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,
+    )
+    scfg = ServingConfig(
+        num_slots=args.num_slots, max_new_tokens=args.max_new_tokens,
+        prompt_buckets=buckets,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+    )
+    engine = ContinuousBatchingEngine(
+        model.cfg.llm, model.params["llm"], scfg,
+        lora=model.params.get("lora"),
+        lora_scaling=model.cfg.lora.scaling if model.cfg.lora is not None else 1.0,
+    )
+    embed_fn = jax.jit(partial(salmonn_prompt_embeddings, model.cfg, model.params))
+
+    n = min(len(dataset), args.max_samples)
+    t0 = time.perf_counter()
+    rid_to_sample = {}
+    for idx in range(n):
+        sample = dataset[idx]
+        packed = collate_icl_batch([sample], tok, pack_cfg)
+        batch = {
+            "text_tokens": np.asarray(packed.text_tokens),
+            "gather_idx": np.asarray(packed.gather_idx),
+            "seq_lengths": np.asarray(packed.seq_lengths),
+            **{k: np.asarray(v) for k, v in packed.audio.items()},
+        }
+        seq, lengths = embed_fn(batch)
+        length = int(lengths[0])
+        rid = engine.submit(np.asarray(seq[0, :length]), length)
+        rid_to_sample[rid] = sample
+        engine.step()  # overlap decode with admission, serving-style
+
+    results = engine.run()
+    elapsed = time.perf_counter() - t0
+
+    for rid in sorted(results):
+        text = tok.decode(results[rid], skip_special_tokens=True)
+        print(f"[req {rid}] label={rid_to_sample[rid].completion!r} -> {text!r}")
+    print(json.dumps({
+        "requests": n, "elapsed_s": round(elapsed, 3),
+        "throughput_req_s": round(n / elapsed, 3),
+        "slots": args.num_slots, "buckets": list(buckets),
+    }))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@ jit prefill + KV-cached decode, batch runner, results/metrics JSON."""
 
 from .engine import GenerationConfig, SalmonnEngine, decode_from_sequence, salmonn_generate
 from .runner import InferenceSettings, run_inference, save_final_results
+from .serving import ContinuousBatchingEngine, ServingConfig
 
 __all__ = [
     "GenerationConfig",
@@ -12,4 +13,6 @@ __all__ = [
     "InferenceSettings",
     "run_inference",
     "save_final_results",
+    "ContinuousBatchingEngine",
+    "ServingConfig",
 ]

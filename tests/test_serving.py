@@ -1,0 +1,112 @@
+"""Continuous-batching serving engine vs the static-batch decode oracle.
+
+Every request decoded through the slot pool must emit token-for-token what a
+standalone batch-1 ``decode_from_sequence`` run produces — regardless of how
+requests interleave, which slot they land in, or how often slots are reused.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from icl_speech_text_llm_tpu.inference.engine import GenerationConfig, decode_from_sequence
+from icl_speech_text_llm_tpu.inference.serving import (
+    ContinuousBatchingEngine,
+    ServingConfig,
+)
+from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS, init_decoder
+
+MAX_NEW = 6
+EOS = 2
+
+
+@pytest.fixture(scope="module")
+def llm():
+    import jax
+
+    cfg = DECODER_CONFIGS["tiny"]
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _requests(cfg, n, seed=0):
+    rng = np.random.RandomState(seed)
+    reqs = []
+    for i in range(n):
+        length = int(rng.randint(5, 24))
+        emb = rng.randn(length, cfg.dim).astype(np.float32) * 0.3
+        reqs.append((emb, length))
+    return reqs
+
+
+def _oracle(cfg, params, emb, length):
+    """Batch-1 static decode for one request."""
+    L = 32  # any bucket >= length; padding must not change the output
+    padded = np.zeros((1, L, cfg.dim), np.float32)
+    padded[0, :length] = emb
+    gen = GenerationConfig(max_new_tokens=MAX_NEW, eos_token_id=EOS, pad_token_id=0)
+    toks = np.asarray(
+        decode_from_sequence(cfg, params, jnp.asarray(padded),
+                             jnp.asarray([length]), gen)
+    )[0]
+    out = []
+    for t in toks:
+        if t == EOS:
+            break
+        out.append(int(t))
+    return out
+
+
+def test_matches_oracle_all_at_once(llm):
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=3, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=EOS)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    reqs = _requests(cfg, 7)
+    rids = [eng.submit(emb, length) for emb, length in reqs]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, (emb, length) in zip(rids, reqs):
+        assert results[rid] == _oracle(cfg, params, emb, length), f"request {rid}"
+
+
+def test_staggered_arrivals_and_slot_reuse(llm):
+    """Requests arriving mid-flight decode identically; 2 slots serve 6 reqs."""
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=EOS)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    reqs = _requests(cfg, 6, seed=1)
+    rids = [eng.submit(*reqs[i]) for i in range(3)]
+    for _ in range(3):  # advance mid-flight
+        eng.step()
+    rids += [eng.submit(*reqs[i]) for i in range(3, 6)]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, (emb, length) in zip(rids, reqs):
+        assert results[rid] == _oracle(cfg, params, emb, length), f"request {rid}"
+
+
+def test_eos_truncation(llm):
+    """Set eos to a token the model actually emits; output must stop there."""
+    cfg, params = llm
+    emb, length = _requests(cfg, 1, seed=2)[0]
+    free_run = _oracle(cfg, params, emb, length)
+    assert len(free_run) >= 2, "need a multi-token continuation for this test"
+    eos = free_run[1]  # force an early stop at step 2
+
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=eos)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    rid = eng.submit(emb, length)
+    results = eng.run()
+    assert results[rid] == free_run[:1]
+    assert eos not in results[rid]
+
+
+def test_oversize_prompt_rejected(llm):
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=1, prompt_buckets=(16,))
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    with pytest.raises(ValueError, match="exceeds largest bucket"):
+        eng.submit(np.zeros((40, cfg.dim), np.float32), 40)
