@@ -18,9 +18,10 @@ encoder heads.
 
 Training support: ``flash_attention`` carries a custom VJP. The forward kernel
 additionally emits the softmax statistics (running max m, sum l) as residuals;
-the backward recomputes P blockwise from (q, k, m, l) with a ``lax.scan`` over
-KV tiles — flash-attention's memory profile (no (S, S) materialization) with
-XLA-generated MXU matmuls.
+the backward runs two dedicated Pallas kernels (dq: accumulate over KV tiles;
+dk/dv: accumulate over Q tiles) that recompute P in the transposed frame
+``sT = k·qT`` so the per-row stats broadcast along lanes. A ``lax.scan``
+blockwise backward (`_flash_bwd_scan_rule`) is kept as the numerics oracle.
 """
 
 from __future__ import annotations
@@ -174,9 +175,190 @@ def _flash_fwd_rule(q, k, v, lengths, causal, sm_scale, block_q, block_k):
     return o, (q, k, v, lengths, o, m[:, :, 0], l[:, :, 0])
 
 
+def _bwd_tile_grads(q, k, v, do, m, l, delta, length, q_start, kv_start,
+                    causal, sm_scale):
+    """Shared per-tile backward math in the TRANSPOSED frame.
+
+    Computing sT = k·qT (block_k, block_q) keeps the per-Q-row softmax stats
+    (m, l, delta — passed as (1, block_q) rows) broadcasting along lanes, so
+    neither the stats nor P ever need an in-kernel transpose.
+    Returns (pT, dsT): dsT includes sm_scale.
+    """
+    sT = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # (block_k, block_q)
+    kv_ids = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0) + kv_start
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1) + q_start
+    mask = kv_ids < length
+    if causal:
+        mask = jnp.logical_and(mask, kv_ids <= q_ids)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    pT = jnp.where(mask, jnp.exp(sT - m) * l_inv, 0.0)  # (block_k, block_q)
+    dpT = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_k, block_q)
+    dsT = pT * (dpT - delta) * sm_scale
+    return pT, dsT
+
+
+def _flash_bwd_dq_kernel(
+    lengths_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
+    dq_ref, dq_scratch, *, causal, sm_scale, block_q, block_k,
+):
+    b = pl.program_id(0)
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
+
+    length = lengths_ref[b]
+    q_start = q_idx * block_q
+    kv_start = kv_idx * block_k
+    on_or_below = (q_start + block_q - 1) >= kv_start if causal else True
+    should_run = jnp.logical_and(on_or_below, kv_start < length)
+
+    @pl.when(should_run)
+    def _run():
+        k = k_ref[0, 0]
+        _, dsT = _bwd_tile_grads(
+            q_ref[0, 0], k, v_ref[0, 0], do_ref[0, 0],
+            m_ref[0, 0][:1, :], l_ref[0, 0][:1, :], delta_ref[0, 0][:1, :],
+            length, q_start, kv_start, causal, sm_scale,
+        )
+        dq_scratch[...] = dq_scratch[...] + jax.lax.dot_general(
+            dsT, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, D)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    lengths_ref, q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch, *, causal, sm_scale, block_q, block_k,
+):
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    length = lengths_ref[b]
+    q_start = q_idx * block_q
+    kv_start = kv_idx * block_k
+    on_or_below = (q_start + block_q - 1) >= kv_start if causal else True
+    should_run = jnp.logical_and(on_or_below, kv_start < length)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        pT, dsT = _bwd_tile_grads(
+            q, k_ref[0, 0], v_ref[0, 0], do,
+            m_ref[0, 0][:1, :], l_ref[0, 0][:1, :], delta_ref[0, 0][:1, :],
+            length, q_start, kv_start, causal, sm_scale,
+        )
+        dv_scratch[...] = dv_scratch[...] + jax.lax.dot(
+            pT.astype(do.dtype), do, preferred_element_type=jnp.float32
+        )  # (block_k, D)
+        dk_scratch[...] = dk_scratch[...] + jax.lax.dot(
+            dsT.astype(q.dtype), q, preferred_element_type=jnp.float32
+        )  # (block_k, D)
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, lengths, o, m, l, do, causal, sm_scale,
+                    block_q, block_k):
+    """Pallas backward launch: dq kernel + dkv kernel.
+
+    m/l arrive as (B, H, S); delta = rowsum(dO·O). All three are re-broadcast
+    to the (B, H, 8, S) sublane-replicated layout the forward already uses for
+    its stat outputs (Mosaic wants ≥(8, 128) tiles on the last two dims).
+    """
+    B, H, S, D = q.shape
+    S_kv = k.shape[2]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    def rep(x):  # (B,H,S) → (B,H,8,S)
+        return jnp.broadcast_to(x[:, :, None, :], (B, H, 8, x.shape[-1]))
+
+    m8, l8, d8 = rep(m), rep(l), rep(delta)
+    stat_spec_q = pl.BlockSpec((1, 1, 8, block_q), lambda b, h, qi, ki, *_: (b, h, 0, qi))
+    qd_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, S // block_q, S_kv // block_k),
+            in_specs=[qd_spec, kv_spec, kv_spec, qd_spec,
+                      stat_spec_q, stat_spec_q, stat_spec_q],
+            out_specs=qd_spec,
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths, q, k, v, do, m8, l8, d8)
+
+    # dkv grid iterates kv tiles outer, q tiles inner (accumulation dim last)
+    stat_spec_kv = pl.BlockSpec((1, 1, 8, block_q), lambda b, h, ki, qi, *_: (b, h, 0, qi))
+    qd_spec_kv = pl.BlockSpec((1, 1, block_q, D), lambda b, h, ki, qi, *_: (b, h, qi, 0))
+    kv_spec_kv = pl.BlockSpec((1, 1, block_k, D), lambda b, h, ki, qi, *_: (b, h, ki, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, S_kv // block_k, S // block_q),
+            in_specs=[qd_spec_kv, kv_spec_kv, kv_spec_kv, qd_spec_kv,
+                      stat_spec_kv, stat_spec_kv, stat_spec_kv],
+            out_specs=(kv_spec_kv, kv_spec_kv),
+            scratch_shapes=[pltpu.VMEM((block_k, D), jnp.float32),
+                            pltpu.VMEM((block_k, D), jnp.float32)],
+        ),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths, q, k, v, do, m8, l8, d8)
+    return dq, dk, dv
+
+
 def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, do):
+    """Backward via the dedicated Pallas kernels (dq + dkv)."""
+    q, k, v, lengths, o, m, l = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, lengths, o, m, l, do, causal, sm_scale, block_q, block_k
+    )
+    return dq, dk, dv, None
+
+
+def _flash_bwd_scan_rule(causal, sm_scale, block_q, block_k, res, do):
     """Blockwise backward from saved (m, l): recompute P per KV tile with a
-    lax.scan — flash memory profile, XLA matmuls."""
+    lax.scan — flash memory profile, XLA matmuls. Kept as the numerics oracle
+    for the Pallas backward kernels (tests compare all three: XLA autodiff,
+    this, and the kernels)."""
     q, k, v, lengths, o, m, l = res
     B, H, S, D = q.shape
     S_kv = k.shape[2]

@@ -127,3 +127,45 @@ def test_beats_encoder_flash_option_matches_xla():
     out = np.asarray(beats_encode(dataclasses.replace(cfg, use_flash=True), params, wav))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_backward_multiblock_vs_scan_oracle():
+    """Dedicated Pallas bwd kernels vs the retained scan-rule oracle, on a
+    grid with multiple q AND kv blocks, ragged lengths, causal + non-causal."""
+    from icl_speech_text_llm_tpu.ops import flash_attention as fa
+
+    q, k, v = _qkv(B=2, H=2, S=256, D=128, scale=0.3)
+    lengths = jnp.array([256, 147])
+    do = jax.random.normal(jax.random.PRNGKey(3), q.shape) * 0.1
+    # zero upstream grads beyond each sample's length (as a masked loss would)
+    do = do * (jnp.arange(256)[None, None, :, None] < lengths[:, None, None, None])
+
+    for causal in (True, False):
+        o, m, l = fa._flash_forward(q, k, v, lengths, causal, 0.5, 128, 128)
+        res = (q, k, v, lengths, o, m[:, :, 0], l[:, :, 0])
+        dq_p, dk_p, dv_p, _ = fa._flash_bwd_rule(causal, 0.5, 128, 128, res, do)
+        dq_s, dk_s, dv_s, _ = fa._flash_bwd_scan_rule(causal, 0.5, 128, 128, res, do)
+        for a, b, name in ((dq_p, dq_s, "dq"), (dk_p, dk_s, "dk"), (dv_p, dv_s, "dv")):
+            d = np.abs(np.asarray(a) - np.asarray(b)).max()
+            assert d < 1e-4, (causal, name, d)
+
+
+def test_pallas_backward_grad_matches_xla_multiblock():
+    """End-to-end jax.grad through flash (Pallas fwd+bwd) vs XLA autodiff."""
+    q, k, v = _qkv(B=2, H=1, S=256, D=128, scale=0.3)
+    lengths = jnp.array([200, 256])
+    valid = (jnp.arange(256)[None, None, :, None] < lengths[:, None, None, None])
+
+    def loss(f, *args):
+        out = f(*args)
+        w = jnp.cos(jnp.arange(out.size, dtype=out.dtype)).reshape(out.shape)
+        return jnp.sum(out * w * valid)
+
+    gf = jax.grad(lambda *a: loss(lambda q, k, v: flash_attention(q, k, v, lengths=lengths), *a),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: loss(lambda q, k, v: dot_product_attention(
+        q, k, v, make_prefill_mask(lengths, 256)), *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        scale = np.abs(np.asarray(b)).max() + 1e-9
+        assert d.max() / scale < 2e-4, (name, d.max(), scale)
