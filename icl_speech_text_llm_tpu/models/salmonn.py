@@ -16,6 +16,7 @@ the external SALMONN package vendored as pure-JAX components:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -60,8 +61,8 @@ def salmonn_13b() -> SalmonnConfig:
     """The reference's shipped config: Whisper-large-v2 + BEATs + Vicuna-13B
     (ref: models/custom_salmon.py:29-51)."""
     return SalmonnConfig(
-        whisper=WHISPER_CONFIGS["large-v2"],
-        beats=BEATS_CONFIGS["iter3-as2m"],
+        whisper=dataclasses.replace(WHISPER_CONFIGS["large-v2"], use_flash=True),
+        beats=dataclasses.replace(BEATS_CONFIGS["iter3-as2m"], use_flash=True),
         qformer=QFORMER_CONFIGS["salmonn"],
         llm=DECODER_CONFIGS["vicuna-13b"],
         lora=LoraConfig(rank=8, alpha=32.0, targets=("wq", "wv")),
@@ -71,8 +72,8 @@ def salmonn_13b() -> SalmonnConfig:
 
 def salmonn_7b() -> SalmonnConfig:
     return SalmonnConfig(
-        whisper=WHISPER_CONFIGS["large-v2"],
-        beats=BEATS_CONFIGS["iter3-as2m"],
+        whisper=dataclasses.replace(WHISPER_CONFIGS["large-v2"], use_flash=True),
+        beats=dataclasses.replace(BEATS_CONFIGS["iter3-as2m"], use_flash=True),
         qformer=QFORMER_CONFIGS["salmonn-7b"],
         llm=DECODER_CONFIGS["vicuna-7b"],
         lora=LoraConfig(rank=8, alpha=32.0, targets=("wq", "wv")),
@@ -84,9 +85,10 @@ def salmonn_bench() -> SalmonnConfig:
     """Fixed benchmark config: full topology, head_dim-128 LLM (flash path),
     bf16 — comparable across rounds on one v5e chip."""
     return SalmonnConfig(
-        whisper=WhisperEncoderConfig(dim=512, n_heads=8, n_layers=8),
+        whisper=WhisperEncoderConfig(dim=512, n_heads=8, n_layers=8,
+                                     use_flash=True),
         beats=BeatsConfig(dim=256, embed_dim=128, n_heads=4, n_layers=4,
-                          conv_pos=64, conv_pos_groups=8),
+                          conv_pos=64, conv_pos_groups=8, use_flash=True),
         qformer=QFormerConfig(encoder_width=512 + 256, dim=256, n_heads=4,
                               n_layers=2, llm_dim=1024),
         llm=DECODER_CONFIGS["bench"],

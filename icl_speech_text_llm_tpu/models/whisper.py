@@ -33,9 +33,10 @@ class WhisperEncoderConfig:
 
 WHISPER_CONFIGS: Dict[str, WhisperEncoderConfig] = {
     # ref uses openai/whisper-large-v2 (models/custom_salmon.py:31)
-    "large-v2": WhisperEncoderConfig(),  # use_flash available; off by default
-    #   (measured: flash encoders were slower END-TO-END on this box despite a
-    #    faster isolated microbenchmark — XLA fuses non-causal attention well)
+    "large-v2": WhisperEncoderConfig(),  # SALMONN presets enable use_flash:
+    #   with the measured block heuristic (512 × full-KV-row for non-causal)
+    #   the Pallas kernel beats XLA attention ~1.6× at these shapes; the old
+    #   128×128 default was what made flash slower end-to-end (OPTIMIZATIONS.md)
     "tiny-test": WhisperEncoderConfig(dim=64, n_heads=4, n_layers=2),
 }
 

@@ -401,6 +401,28 @@ def _flash_bwd_scan_rule(causal, sm_scale, block_q, block_k, res, do):
 _flash_attention_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+def default_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
+    """Measured-on-v5e block heuristic (OPTIMIZATIONS.md block sweeps).
+
+    128×128 tiles underutilize the MXU (especially at head_dim 64); large
+    tiles win everywhere:
+    - non-causal (encoders): (512, kv_len) — full-row KV per Q tile was
+      fastest (5.7 ms vs 9.0 XLA / 19.9 at 128×128 on 24×8×1536×64);
+    - causal (prefill): (256, 512) — big KV tiles but enough Q tiles to keep
+      diagonal block-skipping effective (3.5 ms vs 4.4 XLA at 4×8×1536×128).
+    """
+
+    def pick(target, n):
+        for b in (target, 512, 256, 128):
+            if b <= n and n % b == 0:
+                return b
+        return n
+
+    if causal:
+        return pick(256, seq_len), pick(512, kv_len)
+    return pick(512, seq_len), pick(kv_len, kv_len)
+
+
 @functools.partial(
     jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
 )
@@ -411,13 +433,19 @@ def flash_attention(
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid KV length; None = all
     causal: bool = True,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention (differentiable). Requires S % block_q == 0,
-    S_kv % block_k == 0, D >= MIN_LANES (use ops.attention otherwise)."""
+    S_kv % block_k == 0, D >= 64 (use ops.attention otherwise). Block sizes
+    default to the measured heuristic (``default_blocks``)."""
     B, H, S, D = q.shape
     S_kv = k.shape[2]
+    bq, bk = default_blocks(S, S_kv, causal)
+    if block_q is None:
+        block_q = bq
+    if block_k is None:
+        block_k = bk
     if sm_scale is None:
         sm_scale = D**-0.5
     if lengths is None:
