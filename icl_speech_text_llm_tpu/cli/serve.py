@@ -28,6 +28,7 @@ from ..data.packing import PackConfig
 from ..inference.serving import (
     ContinuousBatchingEngine,
     ServingConfig,
+    qwen_prompt_embeddings,
     salmonn_prompt_embeddings,
 )
 from ..models.factory import create_model
@@ -38,7 +39,7 @@ from ..utils.tokenization import get_tokenizer
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Slot-pool continuous-batching serving demo")
     p.add_argument("--model_type", type=str, default="salmonn-tiny",
-                   help="SALMONN-family preset (qwen serving: use the static engine)")
+                   help="SALMONN- or Qwen2-Audio-family preset")
     p.add_argument("--dataset_type", type=str, default="voxceleb")
     p.add_argument("--split", type=str, default="test",
                    choices=["train", "validation", "test"])
@@ -64,8 +65,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if not args.model_type.lower().startswith("salmonn"):
-        raise SystemExit("serve: only SALMONN-family presets are supported for now")
+    is_qwen = args.model_type.lower().startswith("qwen")
 
     tok = get_tokenizer(None)
     model = create_model(args.model_type, seed=args.seed)
@@ -76,6 +76,7 @@ def main(argv=None):
         num_examples=args.num_examples, is_training=False,
         max_samples=args.max_samples, synthetic=args.synthetic,
         synthetic_size=args.synthetic_size, seed=args.seed,
+        prompt_style="qwen" if is_qwen else "salmonn",
     )
     buckets = tuple(int(b) for b in args.prompt_buckets.split(","))
     pack_cfg = PackConfig(
@@ -93,7 +94,8 @@ def main(argv=None):
         lora=model.params.get("lora"),
         lora_scaling=model.cfg.lora.scaling if model.cfg.lora is not None else 1.0,
     )
-    embed_fn = jax.jit(partial(salmonn_prompt_embeddings, model.cfg, model.params))
+    embed = qwen_prompt_embeddings if is_qwen else salmonn_prompt_embeddings
+    embed_fn = jax.jit(partial(embed, model.cfg, model.params))
 
     n = min(len(dataset), args.max_samples)
     t0 = time.perf_counter()

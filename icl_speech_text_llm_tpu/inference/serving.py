@@ -224,6 +224,19 @@ class ContinuousBatchingEngine:
             self._slots[i] = _Slot()  # free the slot (device done[i] stays True)
 
 
+def qwen_prompt_embeddings(cfg, params, batch):
+    """Packed Qwen2-Audio batch → (seq embeddings (B,L,D), lengths (B,)).
+
+    Mirrors ``salmonn_prompt_embeddings`` for the Qwen family: audio tower →
+    pool → projector → one-gather assembly (models/qwen_audio.py).
+    """
+    from ..models.qwen_audio import _assemble, _encode_batch_audio
+
+    audio = _encode_batch_audio(cfg, params, batch)
+    seq = _assemble(cfg, params, batch["text_tokens"], audio, batch["gather_idx"])
+    return seq, batch["seq_lengths"]
+
+
 def salmonn_prompt_embeddings(cfg, params, batch):
     """Packed SALMONN batch → (seq embeddings (B,L,D), lengths (B,)).
 

@@ -71,3 +71,49 @@ def test_multihost_single_host_degenerates(cpu_devices):
     assert broadcast_from_main({"a": 1}) == {"a": 1}
     rows = [{"x": 1}, {"x": 2}]
     assert gather_predictions(rows) == rows
+
+
+def test_sharded_generation_matches_single_device(cpu_devices):
+    """Token-level parity for the INFERENCE path under GSPMD (tp-sharded
+    generate) — validates serving-at-scale sharding, not just training."""
+    from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
+    from icl_speech_text_llm_tpu.data.packing import PackConfig
+    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+    from icl_speech_text_llm_tpu.inference.engine import (
+        GenerationConfig,
+        salmonn_generate,
+    )
+    from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer
+
+    cfg = salmonn_tiny()
+    params = init_salmonn(jax.random.PRNGKey(0), cfg)
+    tok = get_tokenizer()
+    pack_cfg = PackConfig(seq_len=512, text_len=320, max_slots=1,
+                          audio_tokens_per_slot=cfg.audio_tokens_per_slot)
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(4):
+        plan = build_default_prompt("Classify the sentiment.", f"utt {i}", [],
+                                    input_mode="speech_only", fewshot_mode="text")
+        samples.append(ICLSample(
+            plan=plan, completion="positive",
+            slot_audio={("main", 0): rng.randn(16000).astype(np.float32) * 0.05},
+        ))
+    b = collate_icl_batch(samples, tok, pack_cfg)
+    batch = {
+        "text_tokens": jnp.asarray(b.text_tokens),
+        "gather_idx": jnp.asarray(b.gather_idx),
+        "seq_lengths": jnp.asarray(b.seq_lengths),
+        "wavs": jnp.asarray(b.audio["wavs"]),
+    }
+    gen = GenerationConfig(max_new_tokens=5, eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    toks_single = np.asarray(salmonn_generate(cfg, gen, params, batch))
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    sp = shard_params(params, mesh)
+    sb = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    toks_sharded = np.asarray(
+        jax.jit(lambda p, bb: salmonn_generate(cfg, gen, p, bb))(sp, sb)
+    )
+    np.testing.assert_array_equal(toks_single, toks_sharded)
