@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated prompt-length buckets")
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--text_len", type=int, default=384)
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="weight-only int8 LLM decode (halves weight HBM reads; "
+                        "lets 13B-class LLMs fit a single v5e chip)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -89,8 +92,13 @@ def main(argv=None):
         prompt_buckets=buckets,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
     )
+    llm_params = model.params["llm"]
+    if args.quantize_int8:
+        from ..ops.quant import quantize_decoder
+
+        llm_params = quantize_decoder(llm_params)
     engine = ContinuousBatchingEngine(
-        model.cfg.llm, model.params["llm"], scfg,
+        model.cfg.llm, llm_params, scfg,
         lora=model.params.get("lora"),
         lora_scaling=model.cfg.lora.scaling if model.cfg.lora is not None else 1.0,
     )

@@ -7,7 +7,7 @@ wires audio lookups, and builds single- or multi-task ICL datasets.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 from ..registry import DatasetSplit, DatasetType, get_dataset_config
 from .icl_dataset import ICLDataset

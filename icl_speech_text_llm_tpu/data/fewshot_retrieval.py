@@ -23,7 +23,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..registry import DatasetConfig, DatasetType, get_dataset_config
+from ..registry import DatasetType, get_dataset_config
 
 logger = logging.getLogger(__name__)
 

@@ -11,7 +11,7 @@ Training defaults balanced+interleaved; inference defaults sequential
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

@@ -12,7 +12,7 @@ import argparse
 import logging
 import os
 
-from ..registry import DatasetSplit, DatasetType, get_data_root, get_dataset_config
+from ..registry import DatasetSplit, DatasetType, get_dataset_config
 
 logger = logging.getLogger(__name__)
 

@@ -7,7 +7,6 @@ rules, and checkpoint conversion simple path-pattern matches.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

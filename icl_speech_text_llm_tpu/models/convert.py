@@ -19,7 +19,6 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-from .beats import BeatsConfig
 from .llama import DecoderConfig
 from .qformer import QFormerConfig
 from .whisper import WhisperEncoderConfig

@@ -9,7 +9,7 @@ API parity with the reference's ModelFactory / BaseModel surface
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
 

@@ -17,9 +17,8 @@ SALMONN; ref: models/custom_salmon.py:630-636,704-720) and Qwen2 LLM
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -180,8 +179,13 @@ def init_lora(key, cfg: DecoderConfig, lora_cfg: LoraConfig) -> Dict[str, Any]:
 
 
 def _proj(x, w, lora_layer, name: str, scaling: float, bias=None):
-    """x @ w (+ bias) with optional additive LoRA delta."""
-    y = x @ w.astype(x.dtype)
+    """x @ w (+ bias) with optional additive LoRA delta.
+
+    ``w`` may be a plain array or an int8 ``{"q", "s"}`` dict from
+    ops/quant.quantize_decoder (weight-only quantized decode)."""
+    from ..ops.quant import dequant_matmul
+
+    y = dequant_matmul(x, w)
     if lora_layer is not None and name in lora_layer:
         a = lora_layer[name]["a"].astype(x.dtype)
         b = lora_layer[name]["b"].astype(x.dtype)
@@ -338,8 +342,10 @@ def embed_tokens(params: Dict[str, Any], token_ids: jnp.ndarray, dtype=jnp.float
 
 
 def lm_logits(cfg: DecoderConfig, params: Dict[str, Any], hidden: jnp.ndarray) -> jnp.ndarray:
+    from ..ops.quant import dequant_matmul
+
     w = params["tok_embed"].T if cfg.tie_embeddings else params["lm_head"]
-    return hidden @ w.astype(hidden.dtype)
+    return dequant_matmul(hidden, w)
 
 
 def cross_entropy_loss(

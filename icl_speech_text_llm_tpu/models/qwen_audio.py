@@ -22,7 +22,6 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..data.packing import PackedBatch
 from ..ops.attention import make_prefill_mask
 from ..ops.mel import log_mel_spectrogram, pad_or_trim, wavs_to_float
 from .common import dense_init

@@ -17,9 +17,8 @@ the external SALMONN package vendored as pure-JAX components:
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ transformer blocks (MHA with biases, GELU MLP) → final LN. (80, 3000) mel in,
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ hard-coded cluster paths: they resolve through environment variables /
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from enum import Enum
 from typing import Dict, List, Optional
 

@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.common import dense_init, layer_norm, split_keys
+from ..models.common import dense_init, layer_norm
 
 
 def init_mlp_adapter(key, embed_dim: int, hidden_dim: Optional[int] = None) -> Dict[str, Any]:

@@ -23,7 +23,7 @@ from ..registry import DatasetType, get_dataset_config, parse_dataset_types
 from ..training.checkpoint import load_checkpoint
 from .configs import SymbolMode, TrainingConfig
 from .mlp_adapter import init_mlp_adapter
-from .schedulers import TrainingScheduler, TrainingStep
+from .schedulers import TrainingScheduler
 from .symbol_manager import SymbolManager
 from .trainer import UnifiedTrainer
 from .validation import ValidationManager

@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -27,7 +26,6 @@ import optax
 
 from ..data.collate import ICLSample, collate_icl_batch
 from ..data.packing import PackConfig
-from ..models.salmonn import SalmonnConfig
 from ..training.checkpoint import save_checkpoint
 from ..training.schedulers import get_schedule
 from ..utils.perf import PerformanceTracker

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -20,7 +20,6 @@ import numpy as np
 
 from ..data.collate import collate_icl_batch
 from ..data.packing import PackConfig
-from ..evaluation import clean_prediction, evaluate_predictions
 from ..registry import DatasetType
 from ..utils.perf import PerformanceTracker
 from .checkpoint import load_checkpoint, save_checkpoint

@@ -8,8 +8,6 @@ unified_trainer.py:227-248).
 
 from __future__ import annotations
 
-import math
-from typing import Callable
 
 import optax
 

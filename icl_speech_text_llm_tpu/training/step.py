@@ -17,7 +17,6 @@ backward, grad-accum, clipping, optimizer/scheduler step
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
