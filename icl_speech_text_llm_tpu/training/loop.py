@@ -20,6 +20,7 @@ import numpy as np
 
 from ..data.collate import collate_icl_batch
 from ..data.packing import PackConfig
+from ..evaluation import evaluate_predictions
 from ..registry import DatasetType
 from ..utils.perf import PerformanceTracker
 from .checkpoint import load_checkpoint, save_checkpoint
@@ -118,17 +119,24 @@ def train(
                               step=jnp.asarray(ck.get("step", 0), jnp.int32))
         if "opt_state" in ck:
             # restore optimizer moments too (the reference restored optimizer
-            # state only in the symbol trainer — we do it everywhere)
-            try:
+            # state only in the symbol trainer — we do it everywhere).
+            # Orbax restores plain nested containers, not optax's NamedTuple
+            # states, so graft the saved LEAVES onto the live treedef.
+            flat_tmpl, treedef = jax.tree_util.tree_flatten(state.opt_state)
+            flat_saved = jax.tree_util.tree_leaves(ck["opt_state"])
+            if len(flat_saved) == len(flat_tmpl):
+                leaves = [
+                    jnp.asarray(s).astype(t.dtype) if hasattr(t, "dtype") else s
+                    for t, s in zip(flat_tmpl, flat_saved)
+                ]
                 state = state.replace(
-                    opt_state=jax.tree_util.tree_map(
-                        lambda tmpl, saved: jnp.asarray(saved).astype(tmpl.dtype)
-                        if hasattr(tmpl, "dtype") else saved,
-                        state.opt_state, ck["opt_state"],
-                    )
+                    opt_state=jax.tree_util.tree_unflatten(treedef, leaves)
                 )
-            except Exception as e:
-                logger.warning(f"optimizer state restore skipped ({e})")
+            else:
+                logger.warning(
+                    "optimizer state restore skipped: %d saved leaves vs %d live",
+                    len(flat_saved), len(flat_tmpl),
+                )
         start_epoch = int(ck.get("meta", {}).get("epoch", 0))
         logger.info(f"Resumed from {settings.resume_from} at epoch {start_epoch}")
 
@@ -142,10 +150,28 @@ def train(
             lambda: iter_batches(train_dataset, settings.batch_size,
                                  model.tokenizer, pack_cfg), depth=2,
         )
-        for batch in batches:
-            state, metrics = step_fn(state, frozen, _device_batch(batch))
-            last_loss = float(metrics["loss"])
-            tracker.update(loss=last_loss, examples=batch.batch_size)
+        try:
+            for batch in batches:
+                try:
+                    state, metrics = step_fn(state, frozen, _device_batch(batch))
+                except KeyboardInterrupt:
+                    raise
+                except Exception as e:
+                    # per-batch skip, matching the reference's training loop
+                    # (ref: train/train.py:593-597)
+                    logger.warning(f"skipping batch after error: {e}")
+                    continue
+                last_loss = float(metrics["loss"])
+                if metrics.get("skipped_nonfinite") is not None and float(
+                    metrics["skipped_nonfinite"]
+                ):
+                    logger.warning("non-finite loss — batch became a no-op update")
+                tracker.update(loss=last_loss, examples=batch.batch_size)
+        except KeyboardInterrupt:
+            # graceful stop: keep the state trained so far
+            # (ref: train/train.py:657-659)
+            logger.info("KeyboardInterrupt — stopping training early")
+            break
         if hasattr(train_dataset, "on_epoch_end"):
             train_dataset.on_epoch_end()
 

@@ -113,11 +113,23 @@ def make_train_step(
             return loss_fn(cfg, params, batch, remat=remat)
 
         loss, grads = jax.value_and_grad(compute_loss)(state.trainable)
+        # non-finite-loss guard: make the batch a true no-op update — zeroed
+        # param deltas AND untouched optimizer moments (the reference zeroes
+        # the loss on NaN — ref: models/mlp_salmonn_old.py:385-387).
+        # Branch-free select so XLA compiles one program.
+        ok = jnp.isfinite(loss)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.trainable)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state
+        )
         trainable = optax.apply_updates(state.trainable, updates)
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            "skipped_nonfinite": (~ok).astype(jnp.float32),
             "step": state.step,
         }
         return state.replace(trainable=trainable, opt_state=opt_state, step=state.step + 1), metrics

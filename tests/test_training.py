@@ -111,3 +111,28 @@ def test_checkpoint_roundtrip(tmp_path):
     # unknown keys skipped silently (strict=False parity)
     out = apply_trainable(params, {"bogus": {}})
     assert "bogus" not in out
+
+
+def test_nonfinite_loss_is_noop_update():
+    """A NaN loss must zero the update (reference zeroes the loss on NaN)."""
+    from icl_speech_text_llm_tpu.models.salmonn import salmonn_tiny, init_salmonn
+    from icl_speech_text_llm_tpu.training.step import (
+        OptimizerSettings, init_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = salmonn_tiny()
+    params = init_salmonn(jax.random.PRNGKey(0), cfg)
+
+    def nan_loss(cfg, params, batch, remat=False):
+        leaf = jax.tree_util.tree_leaves(params["lora"])[0]
+        return jnp.sum(leaf) * jnp.nan
+
+    optimizer = make_optimizer(OptimizerSettings(learning_rate=1e-2))
+    state, frozen = init_train_state(params, optimizer)
+    before = jax.tree_util.tree_map(np.asarray, state.trainable)
+    step_fn = make_train_step(cfg, optimizer, loss_fn=nan_loss)
+    state, metrics = step_fn(state, frozen, {})
+    assert float(metrics["skipped_nonfinite"]) == 1.0
+    after = jax.tree_util.tree_map(np.asarray, state.trainable)
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
