@@ -61,8 +61,17 @@ def create_dataset(
             rows = make_synthetic_dataset(dt, n=synthetic_size, seed=seed)
             lookup = SyntheticLookup(dt, n=max(8, synthetic_size // 2), seed=seed + 1)
         else:
-            rows = load_dataset(dt, split)
-            lookup = _load_audio_lookup(dt, split)
+            try:
+                rows = load_dataset(dt, split)
+                lookup = _load_audio_lookup(dt, split)
+            except Exception as e:
+                # multi-task runs skip datasets that fail to load, matching
+                # the reference (ref: orchestrator_training.py:86-88); a
+                # single-dataset request still raises.
+                if len(dataset_types) > 1:
+                    logger.warning(f"skipping dataset {dt.value}: {e}")
+                    continue
+                raise
         if max_samples:
             rows = rows[:max_samples] if isinstance(rows, list) else rows.select(
                 range(min(max_samples, len(rows)))
@@ -81,6 +90,8 @@ def create_dataset(
             prompt_style=prompt_style,
         )
 
+    if not built:
+        raise RuntimeError("no datasets could be loaded")
     if len(built) == 1:
         return next(iter(built.values()))
     if is_training:
