@@ -16,6 +16,7 @@ Qwen2AudioForConditionalGeneration (ref: models/custom_qwen.py:29-247):
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -55,7 +56,10 @@ class QwenAudioConfig:
 def qwen2_audio_7b() -> QwenAudioConfig:
     """Qwen2-Audio-7B-Instruct shape (ref: models/custom_qwen.py:51)."""
     return QwenAudioConfig(
-        encoder=WHISPER_CONFIGS["large-v2"],
+        # flash on the audio tower (head_dim 64) — same kernel + block
+        # heuristic validated for the SALMONN whisper path; gated off
+        # automatically on non-TPU backends
+        encoder=dataclasses.replace(WHISPER_CONFIGS["large-v2"], use_flash=True),
         llm=DECODER_CONFIGS["qwen2-7b"],
         compute_dtype=jnp.bfloat16,
     )
