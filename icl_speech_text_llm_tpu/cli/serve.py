@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated prompt-length buckets")
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--text_len", type=int, default=384)
+    p.add_argument("--warmup", type=int, default=0,
+                   help="requests to run untimed first (compile warmup) so the "
+                        "throughput summary reflects steady state")
     p.add_argument("--quantize_int8", action="store_true",
                    help="weight-only int8 LLM decode (halves weight HBM reads; "
                         "lets 13B-class LLMs fit a single v5e chip)")
@@ -103,9 +106,30 @@ def main(argv=None):
         lora_scaling=model.cfg.lora.scaling if model.cfg.lora is not None else 1.0,
     )
     embed = qwen_prompt_embeddings if is_qwen else salmonn_prompt_embeddings
-    embed_fn = jax.jit(partial(embed, model.cfg, model.params))
+    # params must be an ARGUMENT, not a closure constant — baked-in weights
+    # bloat the compiled program (and break remote-compile payload limits)
+    embed_jit = jax.jit(partial(embed, model.cfg))
+    embed_fn = lambda batch: embed_jit(model.params, batch)
 
     n = min(len(dataset), args.max_samples)
+
+    def submit_sample(sample):
+        packed = collate_icl_batch([sample], tok, pack_cfg)
+        batch = {
+            "text_tokens": np.asarray(packed.text_tokens),
+            "gather_idx": np.asarray(packed.gather_idx),
+            "seq_lengths": np.asarray(packed.seq_lengths),
+            **{k: np.asarray(v) for k, v in packed.audio.items()},
+        }
+        seq, lengths = embed_fn(batch)
+        length = int(lengths[0])
+        return engine.submit(np.asarray(seq[0, :length]), length)
+
+    for w in range(min(args.warmup, len(dataset))):
+        submit_sample(dataset[w % len(dataset)])
+    if args.warmup:
+        engine.run()  # drain untimed — compiles prefill/decode/embed programs
+
     t0 = time.perf_counter()
     rid_to_sample = {}
     for idx in range(n):
