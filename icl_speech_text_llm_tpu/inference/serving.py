@@ -149,12 +149,15 @@ class ContinuousBatchingEngine:
         )
 
     # -- public API ---------------------------------------------------------
-    def submit(self, seq_emb: np.ndarray, length: int) -> int:
-        """Enqueue a request: (L, D) prompt embeddings + true length."""
+    def submit(self, seq_emb, length: int) -> int:
+        """Enqueue a request: (L, D) prompt embeddings + true length.
+
+        ``seq_emb`` may be a numpy array or a device (jax) array — device
+        arrays stay on device through admission (no host round-trip)."""
         _bucket_for(int(length), self.cfg.prompt_buckets)  # fail fast on oversize
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, np.asarray(seq_emb), int(length)))
+        self._queue.append((rid, seq_emb, int(length)))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -189,10 +192,16 @@ class ContinuousBatchingEngine:
                     partial(_prefill_kernel, self.llm_cfg, self.cfg),
                     donate_argnums=(1,),
                 )
-            padded = np.zeros((1, L, emb.shape[-1]), emb.dtype)
-            padded[0, : emb.shape[0]] = emb[:L]
+            if isinstance(emb, jnp.ndarray):
+                # device path: pad on device, no host round-trip
+                emb = emb[:L]
+                padded = jnp.pad(emb, ((0, L - emb.shape[0]), (0, 0)))[None]
+            else:
+                host = np.zeros((1, L, emb.shape[-1]), emb.dtype)
+                host[0, : emb.shape[0]] = emb[:L]
+                padded = jnp.asarray(host)
             self._cache, first = self._prefill[L](
-                self.params, self._cache, jnp.asarray(padded),
+                self.params, self._cache, padded,
                 jnp.int32(length), jnp.int32(i), lora=self.lora,
                 lora_scaling=self.lora_scaling,
             )
