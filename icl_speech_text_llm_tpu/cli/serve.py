@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated prompt-length buckets")
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--text_len", type=int, default=384)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="per-request sampling temperature (0 = greedy)")
     p.add_argument("--admit_batch", type=int, default=4,
                    help="requests encoded together per admission wave (audio "
                         "encoding amortizes across the wave)")
@@ -140,7 +142,8 @@ def main(argv=None):
         rids = []
         for r in range(real):
             length = int(lengths[r])
-            rids.append(engine.submit(seq[r, :length], length))
+            rids.append(engine.submit(seq[r, :length], length,
+                                      temperature=args.temperature))
         return rids
 
     if args.warmup:

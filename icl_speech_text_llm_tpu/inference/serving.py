@@ -70,7 +70,20 @@ def _bucket_for(length: int, buckets: Tuple[int, ...]) -> int:
     raise ValueError(f"prompt length {length} exceeds largest bucket {max(buckets)}")
 
 
-def _prefill_kernel(llm_cfg, scfg, params, cache, seq, length, slot, lora, lora_scaling):
+def _sample_next(logits, temps, rng):
+    """Per-row token choice: temperature 0 → greedy, else gumbel-argmax.
+
+    Branch-free so one compiled decode program serves mixed greedy/sampled
+    slots (gumbel-argmax over logits/T samples the softmax exactly)."""
+    greedy = jnp.argmax(logits, axis=-1)
+    g = jax.random.gumbel(rng, logits.shape, jnp.float32)
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    sampled = jnp.argmax(logits.astype(jnp.float32) / t + g, axis=-1)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
+def _prefill_kernel(llm_cfg, scfg, params, cache, seq, length, slot, temp, rng,
+                    lora, lora_scaling):
     """Batch-1 prefill at bucket length L; KV block lands in slot ``slot``.
 
     Returns (updated pooled cache, first generated token id).
@@ -83,7 +96,8 @@ def _prefill_kernel(llm_cfg, scfg, params, cache, seq, length, slot, lora, lora_
         cache=local, lora=lora, lora_scaling=lora_scaling,
     )
     last = jnp.take_along_axis(hidden, (length - 1)[None, None, None], axis=1)
-    first_tok = jnp.argmax(lm_logits(llm_cfg, params, last)[0, 0], axis=-1)
+    first_logits = lm_logits(llm_cfg, params, last)[0, :1]  # (1, V)
+    first_tok = _sample_next(first_logits, temp[None], rng)[0]
 
     zero = jnp.int32(0)
 
@@ -97,7 +111,8 @@ def _prefill_kernel(llm_cfg, scfg, params, cache, seq, length, slot, lora, lora_
     return cache, first_tok
 
 
-def _decode_kernel(llm_cfg, scfg, params, cache, tok, cur_len, done, lora, lora_scaling):
+def _decode_kernel(llm_cfg, scfg, params, cache, tok, cur_len, done, temps, rng,
+                   lora, lora_scaling):
     """One decode step for every slot. Inactive slots are masked to pad."""
     dt = cache["k"].dtype
     emb = embed_tokens(params, tok[:, None], dtype=dt)
@@ -107,7 +122,7 @@ def _decode_kernel(llm_cfg, scfg, params, cache, tok, cur_len, done, lora, lora_
         cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
     )
     logits = lm_logits(llm_cfg, params, hidden)[:, 0]
-    nxt = jnp.argmax(logits, axis=-1)
+    nxt = _sample_next(logits, temps, rng)
     nxt = jnp.where(done, scfg.pad_token_id, nxt)
     done = done | (nxt == scfg.eos_token_id)
     return cache, nxt, cur_len + 1, done
@@ -130,10 +145,13 @@ class ContinuousBatchingEngine:
         lora: Optional[Dict[str, Any]] = None,
         lora_scaling: float = 1.0,
         dtype=jnp.float32,
+        seed: int = 0,
     ):
         self.llm_cfg, self.params, self.cfg = llm_cfg, params, cfg
         self.lora, self.lora_scaling = lora, lora_scaling
         S = cfg.num_slots
+        self._rng = jax.random.PRNGKey(seed)
+        self._temps = jnp.zeros((S,), jnp.float32)
         self._cache = init_kv_cache(llm_cfg, S, cfg.cache_len, dtype=dtype)
         self._tok = jnp.zeros((S,), jnp.int32)
         self._cur_len = jnp.zeros((S,), jnp.int32)
@@ -149,15 +167,16 @@ class ContinuousBatchingEngine:
         )
 
     # -- public API ---------------------------------------------------------
-    def submit(self, seq_emb, length: int) -> int:
+    def submit(self, seq_emb, length: int, temperature: float = 0.0) -> int:
         """Enqueue a request: (L, D) prompt embeddings + true length.
 
         ``seq_emb`` may be a numpy array or a device (jax) array — device
-        arrays stay on device through admission (no host round-trip)."""
+        arrays stay on device through admission (no host round-trip).
+        ``temperature`` is per-request: 0 = greedy, >0 = softmax sampling."""
         _bucket_for(int(length), self.cfg.prompt_buckets)  # fail fast on oversize
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, seq_emb, int(length)))
+        self._queue.append((rid, seq_emb, int(length), float(temperature)))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -172,9 +191,10 @@ class ContinuousBatchingEngine:
         self._admit()
         if not any(s.active for s in self._slots):
             return
+        self._rng, step_rng = jax.random.split(self._rng)
         self._cache, self._tok, self._cur_len, self._done = self._decode(
             self.params, self._cache, self._tok, self._cur_len, self._done,
-            self.lora, self.lora_scaling,
+            self._temps, step_rng, self.lora, self.lora_scaling,
         )
         self._collect(np.asarray(self._tok), np.asarray(self._done))
 
@@ -185,7 +205,7 @@ class ContinuousBatchingEngine:
                 return
             if slot.active:
                 continue
-            rid, emb, length = self._queue.popleft()
+            rid, emb, length, temperature = self._queue.popleft()
             L = _bucket_for(length, self.cfg.prompt_buckets)
             if L not in self._prefill:
                 self._prefill[L] = jax.jit(
@@ -200,11 +220,13 @@ class ContinuousBatchingEngine:
                 host = np.zeros((1, L, emb.shape[-1]), emb.dtype)
                 host[0, : emb.shape[0]] = emb[:L]
                 padded = jnp.asarray(host)
+            self._rng, admit_rng = jax.random.split(self._rng)
             self._cache, first = self._prefill[L](
                 self.params, self._cache, padded,
-                jnp.int32(length), jnp.int32(i), lora=self.lora,
-                lora_scaling=self.lora_scaling,
+                jnp.int32(length), jnp.int32(i), jnp.float32(temperature),
+                admit_rng, lora=self.lora, lora_scaling=self.lora_scaling,
             )
+            self._temps = self._temps.at[i].set(temperature)
             first = int(first)
             self._slots[i] = _Slot(rid, length, [], True)
             self._tok = self._tok.at[i].set(first)

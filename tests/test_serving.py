@@ -110,3 +110,29 @@ def test_oversize_prompt_rejected(llm):
     eng = ContinuousBatchingEngine(cfg, params, scfg)
     with pytest.raises(ValueError, match="exceeds largest bucket"):
         eng.submit(np.zeros((40, cfg.dim), np.float32), 40)
+
+
+def test_per_request_sampling_isolation(llm):
+    """A sampled request must not perturb a greedy neighbor; sampling is
+    deterministic for a fixed engine seed and varies across seeds."""
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=EOS)
+    reqs = _requests(cfg, 2, seed=3)
+
+    def run_pair(seed):
+        eng = ContinuousBatchingEngine(cfg, params, scfg, seed=seed)
+        r_greedy = eng.submit(*reqs[0])  # temperature defaults to 0
+        r_hot = eng.submit(*reqs[1], temperature=5.0)
+        out = eng.run()
+        return out[r_greedy], out[r_hot]
+
+    greedy_a, hot_a = run_pair(seed=0)
+    greedy_b, hot_b = run_pair(seed=0)
+    greedy_c, hot_c = run_pair(seed=7)
+
+    oracle = _oracle(cfg, params, *reqs[0])
+    assert greedy_a == oracle            # greedy slot unaffected by neighbor
+    assert greedy_c == oracle            # ...at any engine seed
+    assert hot_a == hot_b                # same seed -> same sample
+    assert hot_a != hot_c or hot_b != hot_c  # different seed -> (almost surely) differs
