@@ -1,13 +1,17 @@
-"""BEATs-style audio encoder, pure JAX.
+"""BEATs audio encoder, pure JAX.
 
 TPU-native replacement for the reference's BEATs checkpoint encoder
 (ref: models/custom_salmon.py:32,67 — BEATs_iter3_plus_AS2M_finetuned...).
 
-Faithful to the BEATs architecture for future weight conversion:
+Faithful to the BEATs architecture (microsoft/unilm BEATs, WavLM-lineage
+backbone) so the real checkpoint converts exactly:
+
 kaldi-style 128-bin fbank → (x - 15.41663) / (2 * 6.55582) normalization →
-16×16 conv patch embedding (stride 16) over (time, freq) → linear 512→768 →
-grouped conv relative positional embedding → 12 post-LN transformer layers
-with deep-norm residual scaling → (B, ~1496, 768).
+16×16 conv patch embedding (stride 16) over (time, freq) → LayerNorm(512) →
+linear 512→768 → grouped-conv positional embedding → LayerNorm(768) →
+12 post-LN transformer layers with deep-norm residual scaling and **gated
+relative position bias** (T5-style bucketed bias shared across layers, WavLM
+"gru_rel_pos" per-layer gating) → (B, ~1496, 768).
 
 On 30 s audio the output length is 1496; SALMONN pads it to Whisper's 1500
 frames before concatenation (handled by the caller in models/salmonn.py).
@@ -16,13 +20,13 @@ frames before concatenation (handled by the caller in models/salmonn.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import NEG_INF, dot_product_attention
 from .common import dense_init, layer_norm, split_keys
 
 FBANK_MEAN = 15.41663
@@ -40,17 +44,27 @@ class BeatsConfig:
     conv_pos: int = 128  # conv positional embedding kernel
     conv_pos_groups: int = 16
     mlp_ratio: int = 4
-    use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash
+    # Gated relative position bias (the real BEATs config: gru_rel_pos=True,
+    # num_buckets=320, max_distance=800). When on, attention carries a bias
+    # term so the plain XLA path is used (flash kernel has no bias input).
+    gated_rel_pos: bool = True
+    rel_pos_buckets: int = 320
+    rel_pos_max_distance: int = 800
+    use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash (bias-free configs only)
 
     @property
     def deep_norm_alpha(self) -> float:
         return float((2.0 * self.n_layers) ** 0.25)
 
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
 
 BEATS_CONFIGS: Dict[str, BeatsConfig] = {
-    "iter3-as2m": BeatsConfig(),  # use_flash available; off by default
+    "iter3-as2m": BeatsConfig(),
     "tiny-test": BeatsConfig(dim=64, embed_dim=32, n_heads=4, n_layers=2, conv_pos=16,
-                             conv_pos_groups=4),
+                             conv_pos_groups=4, rel_pos_buckets=32, rel_pos_max_distance=16),
 }
 
 
@@ -63,8 +77,6 @@ def kaldi_fbank(
     waveform * 2**15 before torchaudio.compliance.kaldi.fbank).
     Returns (B, n_frames, n_mels) with n_frames = (n_samples - 400)//160 + 1.
     """
-    from ..ops.mel import hertz_to_mel_slaney  # noqa: F401 (mel utils nearby)
-
     B, n = wav.shape
     n_frames = (n - frame_length) // hop + 1
     idx = (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]).astype(np.int32)
@@ -108,11 +120,37 @@ def _htk_mel_bank(n_freqs: int, n_mels: int, sr: int = 16000) -> np.ndarray:
     return fb.astype(np.float32)
 
 
+def relative_position_buckets(t: int, num_buckets: int, max_distance: int) -> np.ndarray:
+    """T5-style bidirectional relative-position bucketing, (t, t) int32.
+
+    Matches WavLM/BEATs `_relative_positions_bucket` (bidirectional=True):
+    half the buckets for key>query, half for key<=query; within each half the
+    first `nb//2` are exact offsets and the rest log-spaced up to max_distance.
+    Computed in numpy — `t` is static under jit.
+    """
+    context = np.arange(t, dtype=np.int64)[:, None]
+    memory = np.arange(t, dtype=np.int64)[None, :]
+    rel = memory - context
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(np.int64) * nb
+    rel = np.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1).astype(np.float64) / max_exact)
+        / np.log(max_distance / max_exact)
+        * (nb - max_exact)
+    ).astype(np.int64)  # trunc toward zero, same as torch .to(long)
+    large = np.minimum(large, nb - 1)
+    buckets += np.where(is_small, rel, large)
+    return buckets.astype(np.int32)
+
+
 def _init_layer(key, cfg: BeatsConfig):
     d = cfg.dim
-    keys = split_keys(key, 6)
+    keys = split_keys(key, 7)
     inner = cfg.mlp_ratio * d
-    return {
+    layer = {
         "attn": {
             "wq": dense_init(keys[0], d, d), "bq": jnp.zeros((d,)),
             "wk": dense_init(keys[1], d, d), "bk": jnp.zeros((d,)),
@@ -126,31 +164,47 @@ def _init_layer(key, cfg: BeatsConfig):
         },
         "ln_mlp": {"w": jnp.ones((d,)), "b": jnp.zeros((d,))},
     }
+    if cfg.gated_rel_pos:
+        layer["attn"]["grep_w"] = dense_init(keys[6], cfg.head_dim, 8)
+        layer["attn"]["grep_b"] = jnp.zeros((8,))
+        layer["attn"]["grep_a"] = jnp.ones((cfg.n_heads,))
+    return layer
 
 
 def init_beats(key, cfg: BeatsConfig) -> Dict[str, Any]:
-    kp, kproj, kpos, kl = jax.random.split(key, 4)
+    kp, kproj, kpos, kl, kb = jax.random.split(key, 5)
     layers = [_init_layer(k, cfg) for k in split_keys(kl, cfg.n_layers)]
-    return {
+    params = {
         "patch_embed": {
             "w": dense_init(kp, cfg.patch * cfg.patch, cfg.embed_dim).reshape(
                 cfg.patch, cfg.patch, 1, cfg.embed_dim
             ),
             "b": jnp.zeros((cfg.embed_dim,)),
         },
+        # LayerNorm over the 512-dim patch features (BEATs.layer_norm,
+        # applied BEFORE post_extract_proj)
+        "ln_patch": {"w": jnp.ones((cfg.embed_dim,)), "b": jnp.zeros((cfg.embed_dim,))},
         "post_proj": {
             "w": dense_init(kproj, cfg.embed_dim, cfg.dim),
             "b": jnp.zeros((cfg.dim,)),
         },
-        "ln_pre": {"w": jnp.ones((cfg.dim,)), "b": jnp.zeros((cfg.dim,))},
         "conv_pos": {
             "w": dense_init(
                 kpos, cfg.conv_pos * (cfg.dim // cfg.conv_pos_groups), cfg.dim
             ).reshape(cfg.conv_pos, cfg.dim // cfg.conv_pos_groups, cfg.dim),
             "b": jnp.zeros((cfg.dim,)),
         },
+        # encoder.layer_norm, applied AFTER adding the conv positional embedding
+        "ln_pre": {"w": jnp.ones((cfg.dim,)), "b": jnp.zeros((cfg.dim,))},
         "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers),
     }
+    if cfg.gated_rel_pos:
+        # shared across layers: BEATs ties every layer's relative_attention_bias
+        # to layer 0's embedding table
+        params["rel_bias"] = 0.02 * jax.random.normal(
+            kb, (cfg.rel_pos_buckets, cfg.n_heads), jnp.float32
+        )
+    return params
 
 
 def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
@@ -169,26 +223,52 @@ def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(out, approximate=False)
 
 
-def _layer_forward(cfg: BeatsConfig, layer, x, lengths=None):
+def _gated_bias(cfg: BeatsConfig, a, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """WavLM-style gated relative position bias, (B, H, T, T) f32.
+
+    Gate input is the raw layer input split into heads (the non-incremental
+    fast path in WavLM/BEATs MultiheadAttention, as validated by HF's WavLM
+    port): sigmoid(sum-of-4 pairs of grep_linear(x_heads)) → gates a,b;
+    scale = a * (b * grep_a - 1) + 2; bias' = scale * bias.
+    """
     B, T, d = x.shape
-    hd = d // cfg.n_heads
+    g = x.reshape(B, T, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)  # (B,H,T,hd)
+    proj = g.astype(jnp.float32) @ a["grep_w"].astype(jnp.float32) + a["grep_b"].astype(jnp.float32)
+    pair = jax.nn.sigmoid(proj.reshape(B, cfg.n_heads, T, 2, 4).sum(-1))  # (B,H,T,2)
+    gate_a, gate_b = pair[..., 0], pair[..., 1]
+    scale = gate_a * (gate_b * a["grep_a"].astype(jnp.float32)[None, :, None] - 1.0) + 2.0
+    return scale[..., None] * bias[None]  # (B,H,T,T)
+
+
+def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray], lengths=None):
+    B, T, d = x.shape
+    hd = cfg.head_dim
     a = layer["attn"]
     dt = x.dtype
     q = (x @ a["wq"].astype(dt) + a["bq"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     k = (x @ a["wk"].astype(dt) + a["bk"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     v = (x @ a["wv"].astype(dt) + a["bv"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
-    if lengths is not None:
+    if bias is not None:
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        logits = logits + _gated_bias(cfg, a, x, bias)
+        if lengths is not None:
+            valid = (jnp.arange(T)[None, :] < lengths[:, None])[:, None, None]
+            logits = jnp.where(valid, logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v).reshape(B, T, d)
+    elif lengths is not None:
         from ..ops.flash_attention import flash_attention
 
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), lengths=lengths, causal=False,
-        )
+        ).transpose(0, 2, 1, 3).reshape(B, T, d)
     else:
         out = dot_product_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-        )
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
+        ).transpose(0, 2, 1, 3).reshape(B, T, d)
     out = out @ a["wo"].astype(dt) + a["bo"].astype(dt)
     # deep-norm: residual scaled by alpha before post-LN
     x = layer_norm(x * cfg.deep_norm_alpha + out, layer["ln_attn"]["w"], layer["ln_attn"]["b"])
@@ -196,6 +276,52 @@ def _layer_forward(cfg: BeatsConfig, layer, x, lengths=None):
     h = jax.nn.gelu(x @ m["w1"].astype(dt) + m["b1"].astype(dt), approximate=False)
     h = h @ m["w2"].astype(dt) + m["b2"].astype(dt)
     return layer_norm(x * cfg.deep_norm_alpha + h, layer["ln_mlp"]["w"], layer["ln_mlp"]["b"])
+
+
+def beats_encode_fbank(
+    cfg: BeatsConfig,
+    params: Dict[str, Any],
+    fbank: jnp.ndarray,  # (B, T_frames, n_fbank) already normalized
+    dtype=jnp.float32,
+    lengths: Optional[jnp.ndarray] = None,  # (B,) valid token counts
+) -> jnp.ndarray:
+    """Normalized fbank → (B, n_tokens, dim) BEATs features."""
+    B, T, F = fbank.shape
+    tp, fp = T // cfg.patch, F // cfg.patch
+    x = fbank[:, : tp * cfg.patch].reshape(B, tp * cfg.patch, F, 1).astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, params["patch_embed"]["w"].astype(dtype),
+        window_strides=(cfg.patch, cfg.patch),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["b"].astype(dtype)  # (B, tp, fp, embed_dim)
+    x = x.reshape(B, tp * fp, cfg.embed_dim)
+    x = layer_norm(x, params["ln_patch"]["w"], params["ln_patch"]["b"])
+    x = x @ params["post_proj"]["w"].astype(dtype) + params["post_proj"]["b"].astype(dtype)
+    x = x + _conv_pos_embed(cfg, params["conv_pos"], x)
+    x = layer_norm(x, params["ln_pre"]["w"], params["ln_pre"]["b"])
+
+    n_tokens = x.shape[1]
+    bias = None
+    if cfg.gated_rel_pos:
+        buckets = relative_position_buckets(
+            n_tokens, cfg.rel_pos_buckets, cfg.rel_pos_max_distance
+        )
+        bias = params["rel_bias"].astype(jnp.float32)[buckets]  # (T,T,H)
+        bias = bias.transpose(2, 0, 1)  # (H,T,T)
+    elif cfg.use_flash and lengths is None:
+        from ..ops.flash_attention import flash_attention_usable
+
+        pad_to = -(-n_tokens // 128) * 128
+        if flash_attention_usable(pad_to, cfg.head_dim):
+            x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
+            lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
+
+    def body(x, layer):
+        return _layer_forward(cfg, layer, x, bias, lengths), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x[:, :n_tokens]
 
 
 def beats_encode(
@@ -206,36 +332,8 @@ def beats_encode(
 ) -> jnp.ndarray:
     """Raw wav → (B, n_tokens, dim) BEATs features.
 
-    n_tokens = (n_frames // 16) * (128 // 16); 30 s → 1496.
+    n_tokens = (n_frames // 16) * (n_fbank // 16); 30 s → 1496.
     """
-    fb = kaldi_fbank(wav * (2**15))  # BEATs scales wav to int16 range
+    fb = kaldi_fbank(wav * (2**15), n_mels=cfg.n_fbank)  # BEATs scales wav to int16 range
     fb = (fb - FBANK_MEAN) / (2 * FBANK_STD)
-    B, T, F = fb.shape
-    tp, fp = T // cfg.patch, F // cfg.patch
-    x = fb[:, : tp * cfg.patch].reshape(B, tp * cfg.patch, F, 1).astype(dtype)
-    x = jax.lax.conv_general_dilated(
-        x, params["patch_embed"]["w"].astype(dtype),
-        window_strides=(cfg.patch, cfg.patch),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + params["patch_embed"]["b"].astype(dtype)  # (B, tp, fp, embed_dim)
-    x = x.reshape(B, tp * fp, cfg.embed_dim)
-    x = x @ params["post_proj"]["w"].astype(dtype) + params["post_proj"]["b"].astype(dtype)
-    x = layer_norm(x, params["ln_pre"]["w"], params["ln_pre"]["b"])
-    x = x + _conv_pos_embed(cfg, params["conv_pos"], x)
-
-    lengths = None
-    n_tokens = x.shape[1]
-    if cfg.use_flash:
-        from ..ops.flash_attention import flash_attention_usable
-
-        pad_to = -(-n_tokens // 128) * 128
-        if flash_attention_usable(pad_to, cfg.dim // cfg.n_heads):
-            x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
-            lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
-
-    def body(x, layer):
-        return _layer_forward(cfg, layer, x, lengths), None
-
-    x, _ = jax.lax.scan(body, x, params["layers"])
-    return x[:, :n_tokens]
+    return beats_encode_fbank(cfg, params, fb, dtype=dtype)

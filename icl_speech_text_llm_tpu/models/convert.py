@@ -257,6 +257,74 @@ def _find(sd: Mapping[str, np.ndarray], pattern: str):
     return None
 
 
+def convert_beats(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """BEATs checkpoint (microsoft/unilm layout) → our encoder tree.
+
+    Accepts the raw `BEATs_iter3_plus_AS2M*.pt` state dict (keys like
+    `patch_embedding.weight`, `encoder.layers.N.self_attn.*`) or the same
+    nested under a `beats.` prefix (as SALMONN stores its audio tower;
+    ref: models/custom_salmon.py:32,67). Predictor/pretraining heads are
+    ignored. The relative-attention-bias table is shared across layers in
+    BEATs (layer 0 owns it); we store it once at the top level.
+    """
+    sd = {re.sub(r"^(beats\.)", "", k): np.asarray(v) for k, v in sd.items()}
+
+    def g(name):
+        if name in sd:
+            return sd[name]
+        raise KeyError(f"missing BEATs weight: {name}")
+
+    # pos_conv is weight-normalized with dim=2 (fairseq): weight_g (1,1,K),
+    # weight_v (O, I, K); weight = g * v / ||v||_{dims 0,1}
+    wv = g("encoder.pos_conv.0.weight_v")
+    wg = g("encoder.pos_conv.0.weight_g")
+    norm = np.sqrt((wv**2).sum(axis=(0, 1), keepdims=True))
+    w_pos = wg * wv / np.maximum(norm, 1e-12)  # (O, I, K)
+    w_pos = np.ascontiguousarray(np.transpose(w_pos, (2, 1, 0)))  # (K, I, O)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"encoder.layers.{i}."
+        attn = {
+            "wq": _t(g(p + "self_attn.q_proj.weight")), "bq": g(p + "self_attn.q_proj.bias"),
+            "wk": _t(g(p + "self_attn.k_proj.weight")), "bk": g(p + "self_attn.k_proj.bias"),
+            "wv": _t(g(p + "self_attn.v_proj.weight")), "bv": g(p + "self_attn.v_proj.bias"),
+            "wo": _t(g(p + "self_attn.out_proj.weight")), "bo": g(p + "self_attn.out_proj.bias"),
+        }
+        if cfg.gated_rel_pos:
+            attn["grep_w"] = _t(g(p + "self_attn.grep_linear.weight"))
+            attn["grep_b"] = g(p + "self_attn.grep_linear.bias")
+            attn["grep_a"] = g(p + "self_attn.grep_a").reshape(-1)
+        layers.append({
+            "attn": attn,
+            "ln_attn": {"w": g(p + "self_attn_layer_norm.weight"),
+                        "b": g(p + "self_attn_layer_norm.bias")},
+            "mlp": {
+                "w1": _t(g(p + "fc1.weight")), "b1": g(p + "fc1.bias"),
+                "w2": _t(g(p + "fc2.weight")), "b2": g(p + "fc2.bias"),
+            },
+            "ln_mlp": {"w": g(p + "final_layer_norm.weight"),
+                       "b": g(p + "final_layer_norm.bias")},
+        })
+
+    params = {
+        # torch conv2d (O, 1, kH, kW) → HWIO (kH, kW, 1, O)
+        "patch_embed": {
+            "w": np.ascontiguousarray(np.transpose(g("patch_embedding.weight"), (2, 3, 1, 0))),
+            "b": g("patch_embedding.bias"),
+        },
+        "ln_patch": {"w": g("layer_norm.weight"), "b": g("layer_norm.bias")},
+        "post_proj": {"w": _t(g("post_extract_proj.weight")),
+                      "b": g("post_extract_proj.bias")},
+        "conv_pos": {"w": w_pos, "b": g("encoder.pos_conv.0.bias")},
+        "ln_pre": {"w": g("encoder.layer_norm.weight"), "b": g("encoder.layer_norm.bias")},
+        "layers": _stack(layers),
+    }
+    if cfg.gated_rel_pos:
+        params["rel_bias"] = g("encoder.layers.0.self_attn.relative_attention_bias.weight")
+    return params
+
+
 def convert_hf_qwen_audio(sd: Mapping[str, np.ndarray], cfg) -> Dict[str, Any]:
     """Qwen2AudioForConditionalGeneration state dict → QwenAudio param tree.
 

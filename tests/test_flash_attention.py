@@ -120,7 +120,7 @@ def test_beats_encoder_flash_option_matches_xla():
     )
 
     cfg = BeatsConfig(dim=64, embed_dim=32, n_heads=1, n_layers=1, conv_pos=16,
-                      conv_pos_groups=4)
+                      conv_pos_groups=4, gated_rel_pos=False)
     params = init_beats(jax.random.PRNGKey(0), cfg)
     wav = jax.random.normal(jax.random.PRNGKey(1), (1, 16000 * 2)) * 0.05
     ref = np.asarray(beats_encode(cfg, params, wav))
