@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--do_sample", action="store_true")
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--top_p", type=float, default=0.9)
+    # HF-generate options the reference forwards (custom_salmon.py:704-720)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--repetition_penalty", type=float, default=1.0)
+    p.add_argument("--length_penalty", type=float, default=1.0)
+    p.add_argument("--min_new_tokens", "--min_length", type=int, default=0)
     p.add_argument("--randomize_swap", action="store_true")
     # packing budget (TPU-native additions)
     p.add_argument("--seq_len", type=int, default=2048)
@@ -78,6 +83,8 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
         temperature=args.temperature, top_p=args.top_p,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+        num_beams=args.num_beams, repetition_penalty=args.repetition_penalty,
+        length_penalty=args.length_penalty, min_new_tokens=args.min_new_tokens,
     )
     n_slots = {
         "speech": args.num_examples + 1,

