@@ -1,21 +1,29 @@
 """Benchmark harness: utterances/sec for k=5 ICL inference (VoxCeleb-style).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
 against the first recorded run of this harness (stored in BENCH_BASELINE.json
 once measured on TPU); until then it is null.
 
+Two measurements per run:
+1. **salmonn-bench** (headline/trend): fixed ~150M topology, comparable across
+   rounds — utt/s + p50 batch latency.
+2. **salmonn-7b** (real scale): Whisper-large-v2 + BEATs(iter3) + Vicuna-7B
+   shapes, int8 decoder weights (random — perf is weight-value independent),
+   30 s clips, k=5 speech exemplars. Reports utt/s, analytic-FLOPs MFU vs the
+   chip's bf16 peak, decode tokens/s, and the prefill/decode split. Skipped on
+   CPU smoke (BENCH_CPU=1) or with BENCH_SKIP_7B=1.
+
 Runs on whatever accelerator JAX offers (the real TPU chip under the driver;
-CPU with BENCH_CPU=1 for smoke). Model: the fixed "salmonn-bench" topology —
-full component stack with a head_dim-128 bf16 LLM (Pallas flash-attention
-prefill), comparable across rounds. BENCH_MODEL=tiny selects the CPU-fast
-tiny config.
+CPU with BENCH_CPU=1 for smoke). BENCH_MODEL=tiny selects the CPU-fast tiny
+config for the headline metric.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -24,6 +32,254 @@ K_SHOTS = 5
 BATCH = 4
 ROUNDS = 5
 
+# bf16 peak FLOPs/s per chip (MXU): v5e = 197 TF. Override: BENCH_PEAK_TFLOPS.
+PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0}
+
+
+def _chip_peak_flops(device) -> float:
+    override = os.environ.get("BENCH_PEAK_TFLOPS")
+    if override:
+        return float(override) * 1e12
+    name = (getattr(device, "device_kind", "") or str(device)).lower()
+    for key, tf in PEAK_TFLOPS.items():
+        if key in name:
+            return tf * 1e12
+    return 197.0e12  # assume v5e-class
+
+
+# ---------------------------------------------------------------------------
+# Analytic FLOPs (multiply-adds × 2). Encoder attention counted full (not
+# causal-halved); prefill LM logits only at the last position (that is what
+# the engine computes).
+# ---------------------------------------------------------------------------
+
+def _mha_layer_flops(T: int, d: int, mlp_mult: float) -> float:
+    return 8 * T * d * d + 4 * T * T * d + 4 * T * d * (mlp_mult * d)
+
+
+def whisper_flops(cfg, n_clips: int) -> float:
+    T, d = 1500, cfg.dim
+    conv = 2 * 3000 * 3 * cfg.n_mels * d + 2 * T * 3 * d * d
+    return n_clips * (conv + cfg.n_layers * _mha_layer_flops(T, d, 4))
+
+
+def beats_flops(cfg, n_clips: int) -> float:
+    T = 1496  # 30 s → (2998//16)*(128//16) patches... time-major tokens
+    d = cfg.dim
+    front = (2 * T * cfg.patch * cfg.patch * cfg.embed_dim
+             + 2 * T * cfg.embed_dim * d
+             + 2 * T * cfg.conv_pos * (d // cfg.conv_pos_groups) * d)
+    gate = cfg.n_layers * 2 * T * d * 8  # grep_linear
+    return n_clips * (front + cfg.n_layers * _mha_layer_flops(T, d, cfg.mlp_ratio) + gate)
+
+
+def qformer_flops(cfg, n_clips: int) -> float:
+    # window-level Q-Former: n_windows windows of w_len encoder frames, 1 query
+    T_enc, d, ew = 1500, cfg.dim, cfg.encoder_width
+    nq = cfg.n_windows * cfg.n_query
+    per_layer = (2 * T_enc * ew * d * 2        # cross k/v over all windows
+                 + 2 * nq * d * d * 2          # q + out proj
+                 + 2 * nq * cfg.window * d * 2  # scores+values (17-frame windows)
+                 + 2 * nq * d * 4 * d * 2)     # mlp
+    proj = 2 * nq * d * cfg.llm_dim
+    return n_clips * (cfg.n_layers * per_layer + proj)
+
+
+def decoder_flops(cfg, n_tokens: int, kv_len: int, vocab_positions: int) -> float:
+    """n_tokens processed positions attending kv_len cached positions."""
+    hd = cfg.hd
+    q_out, kv_out = cfg.n_heads * hd, cfg.n_kv_heads * hd
+    proj = 2 * n_tokens * (cfg.dim * q_out * 2 + cfg.dim * kv_out * 2)
+    attn = 4 * n_tokens * kv_len * q_out
+    mlp = 2 * n_tokens * 3 * cfg.dim * cfg.hidden_dim
+    head = 2 * vocab_positions * cfg.dim * cfg.vocab_size
+    return cfg.n_layers * (proj + attn + mlp) + head
+
+
+def salmonn_step_flops(cfg, B: int, n_slots: int, L: int, new_tokens: int) -> float:
+    n_clips = B * n_slots
+    f = whisper_flops(cfg.whisper, n_clips)
+    if cfg.beats is not None:
+        f += beats_flops(cfg.beats, n_clips)
+    f += qformer_flops(cfg.qformer, n_clips)
+    f += decoder_flops(cfg.llm, B * L, L, B)  # prefill (full-window attention)
+    for t in range(new_tokens):
+        f += decoder_flops(cfg.llm, B, L + t, B)
+    return f
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_batch(tok, cfg, B, k_shots, clip_seconds, seq_len, text_len, seed=0):
+    from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
+    from icl_speech_text_llm_tpu.data.packing import PackConfig
+    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+    from icl_speech_text_llm_tpu.registry import DatasetType, get_dataset_config
+
+    task = get_dataset_config(DatasetType.VOXCELEB)
+    pack_cfg = PackConfig(
+        seq_len=seq_len, text_len=text_len, max_slots=k_shots + 1,
+        audio_tokens_per_slot=cfg.audio_tokens_per_slot,
+    )
+    rng = np.random.RandomState(seed)
+    samples = []
+    for i in range(B):
+        examples = [
+            {"text": f"few shot exemplar number {j}",
+             "label": ["positive", "negative", "neutral"][j % 3]}
+            for j in range(k_shots)
+        ]
+        plan = build_default_prompt(
+            task.prompt_template, f"utterance {i}", examples,
+            input_mode="speech_only", fewshot_mode="speech",
+        )
+        slot_audio = {
+            s: rng.randn(16000 * clip_seconds).astype(np.float32) * 0.05
+            for s in plan.slots
+        }
+        samples.append(ICLSample(plan=plan, completion="positive", slot_audio=slot_audio))
+    batch_h = collate_icl_batch(samples, tok, pack_cfg)
+
+    import jax.numpy as jnp
+
+    # clamp ids into the model vocab (TinyTokenizer ids can exceed 32000)
+    vocab = cfg.llm.vocab_size
+    return {
+        "text_tokens": jnp.asarray(np.minimum(batch_h.text_tokens, vocab - 1)),
+        "gather_idx": jnp.asarray(batch_h.gather_idx),
+        "seq_lengths": jnp.asarray(batch_h.seq_lengths),
+        "wavs": jnp.asarray(batch_h.audio["wavs"]),
+    }
+
+
+def _timed(fn, *args, rounds=ROUNDS, pipeline=10):
+    """(p50 serial latency, pipelined per-call seconds)."""
+    np.asarray(fn(*args))  # compile + warmup
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(pipeline):
+        out = fn(*args)
+    np.asarray(out)
+    per_call = (time.perf_counter() - t0) / pipeline
+    return p50, per_call
+
+
+def bench_headline(jax, tok):
+    from icl_speech_text_llm_tpu.inference.engine import GenerationConfig, salmonn_generate
+    from icl_speech_text_llm_tpu.models.salmonn import (
+        init_salmonn,
+        salmonn_bench,
+        salmonn_tiny,
+    )
+
+    model_name = os.environ.get("BENCH_MODEL", "salmonn-bench")
+    cfg = salmonn_tiny() if model_name == "tiny" else salmonn_bench()
+    if model_name == "tiny":
+        model_name = "salmonn-tiny"
+    params = init_salmonn(jax.random.PRNGKey(0), cfg)
+    dev = build_batch(tok, cfg, BATCH, K_SHOTS, 5, 1536, 768)
+    gen = GenerationConfig(max_new_tokens=10, eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    fn = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
+    p50, per_call = _timed(fn, params, dev)
+    return model_name, BATCH / per_call, p50
+
+
+def bench_salmonn_7b(jax, tok):
+    """Real-scale: Whisper-large-v2 + BEATs + Vicuna-7B (int8 decode weights),
+    30 s clips, k=5 speech exemplars → utt/s, MFU, decode tokens/s."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.inference.engine import GenerationConfig, salmonn_generate
+    from icl_speech_text_llm_tpu.models.llama import embed_tokens, init_decoder_quantized, init_lora, lm_logits
+    from icl_speech_text_llm_tpu.models.qformer import init_qformer
+    from icl_speech_text_llm_tpu.models.salmonn import (
+        assemble_sequence,
+        encode_speech,
+        init_beats,
+        salmonn_7b,
+    )
+    from icl_speech_text_llm_tpu.models.whisper import init_whisper_encoder
+
+    B = int(os.environ.get("BENCH_7B_BATCH", "2"))
+    NEW_TOKENS = 10
+    cfg = dataclasses.replace(salmonn_7b(), encode_chunk=6)
+
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree)
+
+    k = jax.random.PRNGKey(0)
+    kw, kb, kq, kl, klo = jax.random.split(k, 5)
+    params = {
+        "whisper": to_bf16(init_whisper_encoder(kw, cfg.whisper)),
+        "beats": to_bf16(init_beats(kb, cfg.beats)),
+        "qformer": to_bf16(init_qformer(kq, cfg.qformer)),
+        "llm": init_decoder_quantized(kl, cfg.llm),
+        "lora": init_lora(klo, cfg.llm, cfg.lora),
+    }
+    seq_len, text_len = 1024, 448
+    dev = build_batch(tok, cfg, B, K_SHOTS, 30, seq_len, text_len)
+    gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+
+    full = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
+
+    def prefill_probe(p, b):
+        from icl_speech_text_llm_tpu.ops.mel import (
+            log_mel_spectrogram,
+            pad_or_trim,
+            wavs_to_float,
+        )
+
+        wavs = wavs_to_float(b["wavs"])
+        n_slots = wavs.shape[1]
+        flat = pad_or_trim(wavs.reshape(B * n_slots, wavs.shape[-1]))
+        mels = log_mel_spectrogram(flat)
+        speech = encode_speech(cfg, p, mels, flat).reshape(B, n_slots, -1, cfg.llm.dim)
+        seq = assemble_sequence(cfg, p, b["text_tokens"], speech, b["gather_idx"])
+        from icl_speech_text_llm_tpu.ops.attention import make_prefill_mask
+        from icl_speech_text_llm_tpu.models.llama import decoder_forward
+
+        lengths = b["seq_lengths"]
+        L = seq.shape[1]
+        hidden, _ = decoder_forward(
+            cfg.llm, p["llm"], seq, make_prefill_mask(lengths, L),
+            jnp.broadcast_to(jnp.arange(L), (B, L)),
+            lora=p.get("lora"), lora_scaling=cfg.lora.scaling,
+        )
+        last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
+        return jnp.argmax(lm_logits(cfg.llm, p["llm"], last)[:, 0], -1)
+
+    prefill = jax.jit(prefill_probe)
+    p50_pre, per_pre = _timed(prefill, params, dev, rounds=3, pipeline=5)
+    p50_full, per_full = _timed(full, params, dev, rounds=3, pipeline=5)
+
+    flops = salmonn_step_flops(cfg, B, K_SHOTS + 1, seq_len, NEW_TOKENS)
+    peak = _chip_peak_flops(jax.devices()[0])
+    decode_s = max(per_full - per_pre, 1e-9)
+    return {
+        "utt_s": round(B / per_full, 3),
+        "p50_batch_latency_s": round(p50_full, 4),
+        "mfu": round(flops / per_full / peak, 4),
+        "prefill_s": round(per_pre, 4),
+        "decode_s": round(decode_s, 4),
+        "decode_tokens_per_s": round(B * NEW_TOKENS / decode_s, 1),
+        "flops_per_batch_tf": round(flops / 1e12, 2),
+        "batch": B,
+        "clip_seconds": 30,
+        "note": "Whisper-large-v2 + BEATs-iter3 + Vicuna-7B shapes, int8 LLM weights, k=5 speech exemplars",
+    }
+
 
 def main():
     import jax
@@ -31,92 +287,20 @@ def main():
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
-    from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
-    from icl_speech_text_llm_tpu.data.packing import PackConfig
-    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
-    from icl_speech_text_llm_tpu.inference.engine import GenerationConfig, salmonn_generate
-    from icl_speech_text_llm_tpu.models.salmonn import (
-        init_salmonn,
-        salmonn_bench,
-        salmonn_tiny,
-    )
-    from icl_speech_text_llm_tpu.registry import DatasetType, get_dataset_config
     from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer
 
-    model_name = os.environ.get("BENCH_MODEL", "salmonn-bench")
-    cfg = salmonn_tiny() if model_name == "tiny" else salmonn_bench()
-    if model_name == "tiny":
-        model_name = "salmonn-tiny"
-    params = init_salmonn(jax.random.PRNGKey(0), cfg)
     tok = get_tokenizer()
-    task = get_dataset_config(DatasetType.VOXCELEB)
-    pack_cfg = PackConfig(
-        seq_len=1536, text_len=768, max_slots=K_SHOTS + 1,
-        audio_tokens_per_slot=cfg.audio_tokens_per_slot,
-    )
-
-    rng = np.random.RandomState(0)
-    samples = []
-    for i in range(BATCH):
-        examples = [
-            {"text": f"few shot exemplar number {j}", "label": ["positive", "negative", "neutral"][j % 3]}
-            for j in range(K_SHOTS)
-        ]
-        plan = build_default_prompt(
-            task.prompt_template, f"utterance {i}", examples,
-            input_mode="speech_only", fewshot_mode="speech",
-        )
-        slot_audio = {s: rng.randn(16000 * 5).astype(np.float32) * 0.05 for s in plan.slots}
-        samples.append(ICLSample(plan=plan, completion="positive", slot_audio=slot_audio))
-
-    import jax.numpy as jnp
-
-    batch_h = collate_icl_batch(samples, tok, pack_cfg)
-    dev = {
-        "text_tokens": jnp.asarray(batch_h.text_tokens),
-        "gather_idx": jnp.asarray(batch_h.gather_idx),
-        "seq_lengths": jnp.asarray(batch_h.seq_lengths),
-        "wavs": jnp.asarray(batch_h.audio["wavs"]),
-    }
-    gen = GenerationConfig(max_new_tokens=10, eos_token_id=tok.eos_token_id,
-                           pad_token_id=tok.pad_token_id)
-    fn = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
-
-    # compile + warmup; np.asarray forces a device→host sync (on this box the
-    # tunneled backend's block_until_ready returns before execution finishes)
-    np.asarray(fn(params, dev))
-
-    # latency: serial round trips (one sync per batch)
-    times = []
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        np.asarray(fn(params, dev))
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
-
-    # throughput (headline): pipelined dispatch — enqueue N batches, sync the
-    # last. Device execution is in-order, so the final sync bounds all N;
-    # this is how a deployment drives the chip (dispatch runs ahead of the
-    # device) and amortizes the per-call host RPC floor.
-    n_pipe = 10
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n_pipe):
-        out = fn(params, dev)
-    np.asarray(out)
-    pipe_dt = time.perf_counter() - t0
-    utts_per_sec = BATCH * n_pipe / pipe_dt
+    model_name, utts_per_sec, p50 = bench_headline(jax, tok)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     vs_baseline = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        # only compare like-for-like model configs
         if base.get("value") and base.get("model") == model_name:
             vs_baseline = round(utts_per_sec / base["value"], 3)
 
-    print(json.dumps({
+    result = {
         "metric": f"utterances/sec, {model_name} k={K_SHOTS} ICL inference (VoxCeleb, batch={BATCH}, 10 new tokens)",
         "value": round(utts_per_sec, 3),
         "unit": "utt/s",
@@ -124,7 +308,16 @@ def main():
         "p50_batch_latency_s": round(p50, 4),
         "model": model_name,
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+    if not os.environ.get("BENCH_CPU") and not os.environ.get("BENCH_SKIP_7B"):
+        try:
+            result["salmonn7b"] = bench_salmonn_7b(jax, tok)
+        except Exception as e:  # noqa: BLE001 — 7B failure must not kill the headline
+            print(f"salmonn-7b bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            result["salmonn7b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

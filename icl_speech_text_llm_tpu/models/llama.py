@@ -124,6 +124,55 @@ def init_decoder(key, cfg: DecoderConfig) -> Dict[str, Any]:
     return params
 
 
+def init_decoder_quantized(key, cfg: DecoderConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init decoder directly in the int8 serving layout.
+
+    For benchmarking real-scale (7B/13B) models on one chip: builds the same
+    tree quantize_decoder produces — int8 ``{"q","s"}`` matmul weights,
+    ``dtype`` embeddings/norms — without ever materializing f32 weights
+    (a 7B f32 init would need 27 GB; this needs ~7 GB).
+    """
+    hd = cfg.hd
+    q_out, kv_out = cfg.n_heads * hd, cfg.n_kv_heads * hd
+
+    def qtensor(k, d_in, d_out):
+        q = jax.random.randint(k, (cfg.n_layers, d_in, d_out), -127, 128, jnp.int8)
+        s = jnp.full((cfg.n_layers, d_out), (d_in**-0.5) / 127.0, jnp.float32)
+        return {"q": q, "s": s}
+
+    keys = jax.random.split(key, 9)
+    layers = {
+        "attn": {
+            "wq": qtensor(keys[0], cfg.dim, q_out),
+            "wk": qtensor(keys[1], cfg.dim, kv_out),
+            "wv": qtensor(keys[2], cfg.dim, kv_out),
+            "wo": qtensor(keys[3], q_out, cfg.dim),
+        },
+        "mlp": {
+            "w_gate": qtensor(keys[4], cfg.dim, cfg.hidden_dim),
+            "w_up": qtensor(keys[5], cfg.dim, cfg.hidden_dim),
+            "w_down": qtensor(keys[6], cfg.hidden_dim, cfg.dim),
+        },
+        "ln_attn": jnp.ones((cfg.n_layers, cfg.dim), jnp.float32),
+        "ln_mlp": jnp.ones((cfg.n_layers, cfg.dim), jnp.float32),
+    }
+    if cfg.qkv_bias:
+        layers["attn"]["bq"] = jnp.zeros((cfg.n_layers, q_out), jnp.float32)
+        layers["attn"]["bk"] = jnp.zeros((cfg.n_layers, kv_out), jnp.float32)
+        layers["attn"]["bv"] = jnp.zeros((cfg.n_layers, kv_out), jnp.float32)
+    params = {
+        "tok_embed": (embed_init(keys[7], cfg.vocab_size, cfg.dim)).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        lm = jax.random.randint(keys[8], (cfg.dim, cfg.vocab_size), -127, 128, jnp.int8)
+        params["lm_head"] = {
+            "q": lm, "s": jnp.full((cfg.vocab_size,), (cfg.dim**-0.5) / 127.0, jnp.float32)
+        }
+    return params
+
+
 # ---------------------------------------------------------------------------
 # LoRA
 # ---------------------------------------------------------------------------

@@ -50,6 +50,9 @@ class SalmonnConfig:
     beats: Optional[BeatsConfig] = None  # None → whisper-only encoder stack
     lora: Optional[LoraConfig] = LoraConfig()
     compute_dtype: Any = jnp.float32
+    # >0: encode clips in chunks of this size (lax.map) — bounds the encoder's
+    # peak activation memory (BEATs T²-bias attention) at real model scale
+    encode_chunk: int = 0
 
     @property
     def audio_tokens_per_slot(self) -> int:
@@ -125,13 +128,12 @@ def init_salmonn(key, cfg: SalmonnConfig) -> Dict[str, Any]:
     return params
 
 
-def encode_speech(
+def _encode_speech_chunk(
     cfg: SalmonnConfig,
     params: Dict[str, Any],
-    mels: jnp.ndarray,  # (N, 80, 3000) — N = B * n_slots, all clips batched
-    wavs: Optional[jnp.ndarray] = None,  # (N, n_samples) for BEATs
+    mels: jnp.ndarray,
+    wavs: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
-    """All-clips-at-once speech encoding → (N, T_a, llm_dim)."""
     dt = cfg.compute_dtype
     feats = whisper_encode(cfg.whisper, params["whisper"], mels, dtype=dt)  # (N,1500,Dw)
     if cfg.beats is not None and wavs is not None:
@@ -140,6 +142,36 @@ def encode_speech(
         audio = jnp.pad(audio, ((0, 0), (0, pad), (0, 0)))
         feats = jnp.concatenate([feats, audio], axis=-1)
     return qformer_windows(cfg.qformer, params["qformer"], feats)  # (N, T_a, llm_dim)
+
+
+def encode_speech(
+    cfg: SalmonnConfig,
+    params: Dict[str, Any],
+    mels: jnp.ndarray,  # (N, 80, 3000) — N = B * n_slots, all clips batched
+    wavs: Optional[jnp.ndarray] = None,  # (N, n_samples) for BEATs
+) -> jnp.ndarray:
+    """All-clips-at-once speech encoding → (N, T_a, llm_dim).
+
+    With ``cfg.encode_chunk`` set and N divisible by it, clips run through the
+    encoders in sequential chunks (lax.map) so peak activation memory stays
+    bounded at 13B/7B scale; numerics are identical either way.
+    """
+    N = mels.shape[0]
+    c = cfg.encode_chunk
+    if c and N > c and N % c == 0:
+        mels_c = mels.reshape(N // c, c, *mels.shape[1:])
+        if wavs is not None:
+            wavs_c = wavs.reshape(N // c, c, *wavs.shape[1:])
+            out = jax.lax.map(
+                lambda xs: _encode_speech_chunk(cfg, params, xs[0], xs[1]),
+                (mels_c, wavs_c),
+            )
+        else:
+            out = jax.lax.map(
+                lambda m: _encode_speech_chunk(cfg, params, m, None), mels_c
+            )
+        return out.reshape(N, *out.shape[2:])
+    return _encode_speech_chunk(cfg, params, mels, wavs)
 
 
 def assemble_sequence(

@@ -12,8 +12,11 @@ run unchanged from 1 chip to a pod.
 
 from __future__ import annotations
 
+import json
 import logging
-from typing import Any, Optional
+from typing import Any, List, Optional
+
+import numpy as np
 
 logger = logging.getLogger(__name__)
 
@@ -80,12 +83,26 @@ def broadcast_from_main(tree: Any) -> Any:
     return multihost_utils.broadcast_one_to_all(tree)
 
 
+def encode_rows(rows: List[dict]) -> np.ndarray:
+    """Prediction rows (string-bearing dicts) → uint8 JSON buffer.
+
+    ``multihost_utils.process_allgather`` moves ARRAY pytrees, not Python
+    objects — string rows must ride a fixed-dtype buffer."""
+    return np.frombuffer(json.dumps(rows).encode("utf-8"), dtype=np.uint8).copy()
+
+
+def decode_rows(buf: np.ndarray, length: int) -> List[dict]:
+    return json.loads(np.asarray(buf[:length], np.uint8).tobytes().decode("utf-8"))
+
+
 def gather_predictions(rows: list) -> list:
     """Gather per-host prediction lists onto every host for global metrics.
 
     The reference computed validation metrics per-rank and only rank 0 logged
     (SURVEY.md §5.8) — a silent correctness gap for sharded eval; this gathers
-    so metrics cover the full set.
+    so metrics cover the full set. Rows are JSON-encoded into fixed-width
+    uint8 buffers (padded to the global max length) because process_allgather
+    handles array pytrees only.
     """
     import jax
 
@@ -93,8 +110,44 @@ def gather_predictions(rows: list) -> list:
         return rows
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(rows, tiled=False)
-    out = []
-    for per_host in gathered:
-        out.extend(per_host)
+    payload = encode_rows(rows)
+    n = np.asarray([payload.size], np.int32)
+    lengths = np.asarray(multihost_utils.process_allgather(n, tiled=False)).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(padded, tiled=False))
+    out: list = []
+    for host, length in enumerate(lengths):
+        out.extend(decode_rows(gathered[host], int(length)))
     return out
+
+
+def shard_indices(
+    n: int,
+    epoch: int = 0,
+    shuffle: bool = True,
+    seed: int = 0,
+    process_id: Optional[int] = None,
+    num_processes: Optional[int] = None,
+) -> np.ndarray:
+    """Per-host dataset index slice with per-epoch reshuffle.
+
+    TPU-native equivalent of the reference's ``DistributedSampler`` +
+    ``set_epoch`` (ref: train/train.py:325-330,418-419): every host draws the
+    SAME permutation (seeded by seed+epoch), the order wraps around so the
+    total is divisible by the host count, and host p takes ``order[p::P]``.
+    On a single host this is just the (shuffled) full index list.
+    """
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    pc = jax.process_count() if num_processes is None else num_processes
+    order = (np.random.RandomState(seed + epoch).permutation(n) if shuffle
+             else np.arange(n))
+    if pc <= 1:
+        return order
+    pad = (-n) % pc
+    if pad:
+        order = np.concatenate([order, order[:pad]])
+    return order[pid::pc]

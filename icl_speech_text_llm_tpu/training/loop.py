@@ -39,6 +39,8 @@ class TrainSettings:
     val_max_samples: int = 200  # ref cap (configs/training_configs.py:108)
     resume_from: Optional[str] = None
     val_batch_size: int = 4
+    seed: int = 42  # data-order seed (per-epoch reshuffle, ref set_epoch)
+    shard_data: bool = True  # per-host input sharding (ref DistributedSampler)
 
 
 def _device_batch(batch):
@@ -51,12 +53,18 @@ def _device_batch(batch):
     }
 
 
-def iter_batches(dataset, batch_size: int, tokenizer, pack_cfg: PackConfig):
-    """Fixed-size batches; tail batch padded by repeating the last sample."""
-    n = len(dataset)
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        samples = [dataset[i] for i in idxs]
+def iter_batches(dataset, batch_size: int, tokenizer, pack_cfg: PackConfig,
+                 order=None):
+    """Fixed-size batches; tail batch padded by repeating the last sample.
+
+    ``order`` (optional index array) drives per-host sharding + per-epoch
+    shuffling — see parallel/multihost.shard_indices (ref DistributedSampler,
+    train/train.py:325-330)."""
+    if order is None:
+        order = range(len(dataset))
+    order = list(order)
+    for start in range(0, len(order), batch_size):
+        samples = [dataset[int(i)] for i in order[start:start + batch_size]]
         while len(samples) < batch_size:
             samples.append(samples[-1])
         yield collate_icl_batch(samples, tokenizer, pack_cfg)
@@ -71,11 +79,15 @@ def validate(
 ) -> Dict[str, Any]:
     """Generation-based validation with per-dataset metrics
     (ref: train/train.py:664-744)."""
+    from ..parallel.multihost import gather_predictions, shard_indices
+
     results = []
     n = min(len(val_dataset), settings.val_max_samples)
+    # each host evaluates its slice; predictions are gathered before metrics
+    order = list(shard_indices(n, shuffle=False)) if settings.shard_data else list(range(n))
     bs = settings.val_batch_size
-    for start in range(0, n, bs):
-        samples = [val_dataset[i] for i in range(start, min(start + bs, n))]
+    for start in range(0, len(order), bs):
+        samples = [val_dataset[int(i)] for i in order[start:start + bs]]
         real = len(samples)
         while len(samples) < bs:
             samples.append(samples[-1])
@@ -90,6 +102,8 @@ def validate(
                     "dataset_type": s.extras.get("dataset_type", ""),
                 }
             )
+    if settings.shard_data:
+        results = gather_predictions(results)
     metrics = {}
     for dt in dataset_types:
         subset = [r for r in results if r["dataset_type"] == dt.value]
@@ -142,13 +156,20 @@ def train(
 
     from ..data.pipeline import PrefetchIterator
 
+    from ..parallel.multihost import shard_indices
+
     last_loss = float("nan")
     for epoch in range(start_epoch, settings.num_epochs):
+        # per-host data shard, reshuffled per epoch (the reference's
+        # DistributedSampler + set_epoch, ref: train/train.py:325-330,418-419)
+        order = (shard_indices(len(train_dataset), epoch, seed=settings.seed)
+                 if settings.shard_data else None)
         # background-thread prefetch overlaps host collation with device steps
         # (the reference's DataLoader workers, ref: train/train.py:338-365)
         batches = PrefetchIterator(
-            lambda: iter_batches(train_dataset, settings.batch_size,
-                                 model.tokenizer, pack_cfg), depth=2,
+            lambda order=order: iter_batches(
+                train_dataset, settings.batch_size,
+                model.tokenizer, pack_cfg, order=order), depth=2,
         )
         try:
             for batch in batches:
