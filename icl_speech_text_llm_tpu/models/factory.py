@@ -198,17 +198,30 @@ def create_model(
     seed: int = 0,
     pack_cfg: Optional[PackConfig] = None,
     generation=None,
+    llm_params_dir: Optional[str] = None,
     **_,
 ):
-    """(ref: models/model_factory.py:29-97) — SALMONN and Qwen2-Audio families."""
+    """(ref: models/model_factory.py:29-97) — SALMONN and Qwen2-Audio families.
+
+    ``llm_params_dir``: converted decoder weights (cli/convert.py streaming
+    output — plain or int8) replace the random-init LLM; the memmapped arrays
+    stream to device on first use."""
     key = model_type.lower()
     tok = get_tokenizer(tokenizer)
+
+    def _maybe_real_llm(params):
+        if llm_params_dir:
+            from .stream_convert import load_params_dir
+
+            params["llm"] = load_params_dir(llm_params_dir)
+            logger.info(f"Loaded converted LLM weights from {llm_params_dir}")
+        return params
     if key in QWEN_PRESETS:
         from . import qwen_audio as qa
         from .qwen_audio import init_qwen_audio
 
         cfg = getattr(qa, QWEN_PRESETS[key])()
-        params = init_qwen_audio(jax.random.PRNGKey(seed), cfg)
+        params = _maybe_real_llm(init_qwen_audio(jax.random.PRNGKey(seed), cfg))
         logger.info(f"Created {key} (random init; convert weights via models/convert.py)")
         return QwenAudioModel(cfg, params, tok, pack_cfg, generation)
     if key not in SALMONN_PRESETS:
@@ -222,7 +235,7 @@ def create_model(
         cfg = salmonn_bench()
     else:
         cfg = SALMONN_PRESETS[key]()
-    params = init_salmonn(jax.random.PRNGKey(seed), cfg)
+    params = _maybe_real_llm(init_salmonn(jax.random.PRNGKey(seed), cfg))
     logger.info(f"Created {key} (random init; convert weights via models/convert.py)")
     return SalmonnModel(cfg, params, tok, pack_cfg, generation)
 
