@@ -9,6 +9,7 @@ zero-spectrogram padding, ref :846-849).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Any, Dict, List, Sequence
 
@@ -18,6 +19,8 @@ from ..ops.mel import N_SAMPLES
 from ..utils.tokenization import Tokenizer
 from .packing import PackConfig, PackedBatch, PackedSample, pack_batch, shift_labels, tokenize_plan
 from .prompts import PromptPlan
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -36,17 +39,34 @@ def collate_icl_batch(
     tokenizer: Tokenizer,
     pack_cfg: PackConfig,
     include_wavs: bool = True,
+    auto_grow: bool = True,
 ) -> PackedBatch:
     """Build the device batch: packed indices + (B, n_slots, wav) audio block.
 
     Mel extraction happens on device (ops/mel.log_mel_spectrogram) right before
     the encoder — the host ships raw wavs only.
+
+    ``auto_grow``: an over-budget batch re-buckets to a coarsely grown
+    PackConfig (one extra compile) instead of raising PackError — the
+    reference simply ran oversized prompts slower; we match that behavior.
     """
     packed_samples: List[PackedSample] = []
     for s in samples:
         packed_samples.append(
             tokenize_plan(tokenizer, s.plan, s.completion, extras=s.extras)
         )
+    if auto_grow:
+        from .packing import required_config
+
+        grown = required_config(packed_samples, pack_cfg)
+        if grown is not pack_cfg:
+            logger.warning(
+                "batch exceeds pack budget; re-bucketing text %d→%d seq %d→%d "
+                "slots %d→%d (one extra compile)",
+                pack_cfg.text_len, grown.text_len, pack_cfg.seq_len,
+                grown.seq_len, pack_cfg.max_slots, grown.max_slots,
+            )
+            pack_cfg = grown
     batch = pack_batch(packed_samples, pack_cfg)
 
     B = len(samples)

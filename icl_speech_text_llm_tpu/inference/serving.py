@@ -49,6 +49,13 @@ class ServingConfig:
     prompt_buckets: Tuple[int, ...] = (128, 256, 512)
     eos_token_id: int = 2
     pad_token_id: int = 0
+    # admission prefills are batched: waiting same-bucket requests prefill
+    # together, always padded to this size (ONE compiled prefill program per
+    # bucket); padding rows land in a scratch slot
+    admit_batch: int = 4
+    # decode steps fused per host round-trip (lax.scan inside one jit call) —
+    # amortizes the per-call dispatch/sync cost across tokens
+    sync_every: int = 4
 
     @property
     def cache_len(self) -> int:
@@ -82,50 +89,63 @@ def _sample_next(logits, temps, rng):
     return jnp.where(temps > 0, sampled, greedy)
 
 
-def _prefill_kernel(llm_cfg, scfg, params, cache, seq, length, slot, temp, rng,
-                    lora, lora_scaling):
-    """Batch-1 prefill at bucket length L; KV block lands in slot ``slot``.
+def _prefill_kernel(llm_cfg, scfg, params, cache, seqs, lengths, slots, temps,
+                    rng, lora, lora_scaling):
+    """Batched prefill at bucket length L; KV blocks land in slots ``slots``.
 
-    Returns (updated pooled cache, first generated token id).
+    ``seqs`` (n, L, D) — n waiting requests admitted together (one MXU-friendly
+    prefill instead of the round-1 serial batch-1 admissions); padding rows
+    point their slot index at the scratch slot. Returns (pooled cache,
+    first generated token per row).
     """
-    L = seq.shape[1]
-    local = init_kv_cache(llm_cfg, 1, L, dtype=cache["k"].dtype)
-    mask = make_prefill_mask(length[None], L)
+    n, L, _ = seqs.shape
+    local = init_kv_cache(llm_cfg, n, L, dtype=cache["k"].dtype)
+    mask = make_prefill_mask(lengths, L)
     hidden, local = decoder_forward(
-        llm_cfg, params, seq, mask, jnp.arange(L)[None],
+        llm_cfg, params, seqs, mask, jnp.broadcast_to(jnp.arange(L), (n, L)),
         cache=local, lora=lora, lora_scaling=lora_scaling,
     )
-    last = jnp.take_along_axis(hidden, (length - 1)[None, None, None], axis=1)
-    first_logits = lm_logits(llm_cfg, params, last)[0, :1]  # (1, V)
-    first_tok = _sample_next(first_logits, temp[None], rng)[0]
+    last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
+    first_logits = lm_logits(llm_cfg, params, last)[:, 0]  # (n, V)
+    first_toks = _sample_next(first_logits, temps, rng)
 
     zero = jnp.int32(0)
+    for j in range(n):  # n is static and small (admit_sizes)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], local["k"][:, j:j + 1], (zero, slots[j], zero, zero, zero)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], local["v"][:, j:j + 1], (zero, slots[j], zero, zero, zero)),
+        }
+    return cache, first_toks
 
-    def write(pool, block):
-        return jax.lax.dynamic_update_slice(pool, block, (zero, slot, zero, zero, zero))
 
-    cache = {
-        "k": write(cache["k"], local["k"]),
-        "v": write(cache["v"], local["v"]),
-    }
-    return cache, first_tok
+def _decode_kernel(llm_cfg, scfg, n_inner, params, cache, tok, cur_len, done,
+                   temps, rng, lora, lora_scaling):
+    """``n_inner`` fused decode steps for every slot (one host round-trip).
 
-
-def _decode_kernel(llm_cfg, scfg, params, cache, tok, cur_len, done, temps, rng,
-                   lora, lora_scaling):
-    """One decode step for every slot. Inactive slots are masked to pad."""
+    Inactive slots ride along masked to pad. Returns the emitted token block
+    (n_inner, S) so the host scheduler syncs once per block, not per token."""
     dt = cache["k"].dtype
-    emb = embed_tokens(params, tok[:, None], dtype=dt)
-    mask = make_decode_mask(cur_len + 1, scfg.cache_len)
-    hidden, cache = decoder_forward(
-        llm_cfg, params, emb, mask, cur_len[:, None],
-        cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
-    )
-    logits = lm_logits(llm_cfg, params, hidden)[:, 0]
-    nxt = _sample_next(logits, temps, rng)
-    nxt = jnp.where(done, scfg.pad_token_id, nxt)
-    done = done | (nxt == scfg.eos_token_id)
-    return cache, nxt, cur_len + 1, done
+
+    def body(carry, step_rng):
+        cache, tok, cur_len, done = carry
+        emb = embed_tokens(params, tok[:, None], dtype=dt)
+        mask = make_decode_mask(cur_len + 1, scfg.cache_len)
+        hidden, cache = decoder_forward(
+            llm_cfg, params, emb, mask, cur_len[:, None],
+            cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
+        )
+        logits = lm_logits(llm_cfg, params, hidden)[:, 0]
+        nxt = _sample_next(logits, temps, step_rng)
+        nxt = jnp.where(done, scfg.pad_token_id, nxt)
+        done = done | (nxt == scfg.eos_token_id)
+        return (cache, nxt, cur_len + 1, done), nxt
+
+    rngs = jax.random.split(rng, n_inner)
+    (cache, tok, cur_len, done), toks = jax.lax.scan(
+        body, (cache, tok, cur_len, done), rngs)
+    return cache, tok, cur_len, done, toks
 
 
 class ContinuousBatchingEngine:
@@ -150,19 +170,25 @@ class ContinuousBatchingEngine:
         self.llm_cfg, self.params, self.cfg = llm_cfg, params, cfg
         self.lora, self.lora_scaling = lora, lora_scaling
         S = cfg.num_slots
+        self._scratch = S  # extra pool row that absorbs admission padding
         self._rng = jax.random.PRNGKey(seed)
-        self._temps = jnp.zeros((S,), jnp.float32)
-        self._cache = init_kv_cache(llm_cfg, S, cfg.cache_len, dtype=dtype)
-        self._tok = jnp.zeros((S,), jnp.int32)
-        self._cur_len = jnp.zeros((S,), jnp.int32)
-        self._done = jnp.ones((S,), bool)  # empty slots ride along as done
+        self._temps = jnp.zeros((S + 1,), jnp.float32)
+        self._cache = init_kv_cache(llm_cfg, S + 1, cfg.cache_len, dtype=dtype)
+        self._tok = jnp.zeros((S + 1,), jnp.int32)
+        self._cur_len = jnp.zeros((S + 1,), jnp.int32)
+        self._done = jnp.ones((S + 1,), bool)  # empty slots ride along as done
         self._slots = [_Slot() for _ in range(S)]
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._next_id = 0
-        self._prefill = {}  # bucket L -> jitted fn
+        self._prefill = {}  # (bucket L, n) -> jitted fn
+        # ONE compiled decode program: always sync_every fused steps. Slots
+        # whose budget ends mid-block just ride along masked — a wasted
+        # micro-step costs ~ms, a fresh jit compile or an extra host sync
+        # costs 20-40 s / ~90 ms on the tunneled chip.
+        self._n_inner = max(1, cfg.sync_every)
         self._decode = jax.jit(
-            partial(_decode_kernel, self.llm_cfg, self.cfg),
+            partial(_decode_kernel, self.llm_cfg, self.cfg, self._n_inner),
             donate_argnums=(1,),
         )
 
@@ -187,57 +213,90 @@ class ContinuousBatchingEngine:
         return out
 
     def step(self) -> None:
-        """Admit waiting requests into free slots, then advance one token."""
+        """Admit waiting requests into free slots, then advance ``sync_every``
+        fused decode steps (one host round-trip)."""
         self._admit()
         if not any(s.active for s in self._slots):
             return
         self._rng, step_rng = jax.random.split(self._rng)
-        self._cache, self._tok, self._cur_len, self._done = self._decode(
+        self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
             self.params, self._cache, self._tok, self._cur_len, self._done,
             self._temps, step_rng, self.lora, self.lora_scaling,
         )
-        self._collect(np.asarray(self._tok), np.asarray(self._done))
+        self._collect(np.asarray(toks))
 
     # -- scheduler internals ------------------------------------------------
     def _admit(self) -> None:
-        for i, slot in enumerate(self._slots):
-            if not self._queue:
+        while self._queue:
+            free = [i for i, s in enumerate(self._slots) if not s.active]
+            if not free:
                 return
-            if slot.active:
-                continue
-            rid, emb, length, temperature = self._queue.popleft()
-            L = _bucket_for(length, self.cfg.prompt_buckets)
-            if L not in self._prefill:
-                self._prefill[L] = jax.jit(
-                    partial(_prefill_kernel, self.llm_cfg, self.cfg),
-                    donate_argnums=(1,),
-                )
-            if isinstance(emb, jnp.ndarray):
-                # device path: pad on device, no host round-trip
-                emb = emb[:L]
-                padded = jnp.pad(emb, ((0, L - emb.shape[0]), (0, 0)))[None]
-            else:
-                host = np.zeros((1, L, emb.shape[-1]), emb.dtype)
-                host[0, : emb.shape[0]] = emb[:L]
-                padded = jnp.asarray(host)
-            self._rng, admit_rng = jax.random.split(self._rng)
-            self._cache, first = self._prefill[L](
-                self.params, self._cache, padded,
-                jnp.int32(length), jnp.int32(i), jnp.float32(temperature),
-                admit_rng, lora=self.lora, lora_scaling=self.lora_scaling,
-            )
-            self._temps = self._temps.at[i].set(temperature)
-            first = int(first)
-            self._slots[i] = _Slot(rid, length, [], True)
-            self._tok = self._tok.at[i].set(first)
-            self._cur_len = self._cur_len.at[i].set(length)
-            self._done = self._done.at[i].set(first == self.cfg.eos_token_id)
-            self._record(i, first)
+            # take the queue head plus FIFO-following requests in the SAME
+            # prompt bucket, up to the free slots and the largest admit size
+            head_bucket = _bucket_for(self._queue[0][2], self.cfg.prompt_buckets)
+            limit = min(len(free), self.cfg.admit_batch)
+            wave, keep = [], deque()
+            while self._queue and len(wave) < limit:
+                req = self._queue.popleft()
+                if _bucket_for(req[2], self.cfg.prompt_buckets) == head_bucket:
+                    wave.append(req)
+                else:
+                    keep.append(req)
+            while keep:
+                self._queue.appendleft(keep.pop())
+            self._admit_wave(wave, head_bucket, free)
 
-    def _collect(self, tok: np.ndarray, done: np.ndarray) -> None:
-        for i, slot in enumerate(self._slots):
-            if slot.active:
-                self._record(i, int(tok[i]))
+    def _admit_wave(self, wave, L: int, free: List[int]) -> None:
+        n = len(wave)
+        nb = self.cfg.admit_batch
+        # build the (nb, L, D) embedding block — device rows stay on device
+        rows = []
+        for (_, emb, length, _t) in wave:
+            if isinstance(emb, jnp.ndarray):
+                rows.append(jnp.pad(emb[:L], ((0, L - min(emb.shape[0], L)), (0, 0))))
+            else:
+                h = np.zeros((L, emb.shape[-1]), emb.dtype)
+                h[: min(len(emb), L)] = emb[:L]
+                rows.append(jnp.asarray(h))
+        for _ in range(nb - n):
+            rows.append(jnp.zeros_like(rows[0]))
+        seqs = jnp.stack(rows)
+
+        lengths = np.array([r[2] for r in wave] + [1] * (nb - n), np.int32)
+        slot_ids = np.array(free[:n] + [self._scratch] * (nb - n), np.int32)
+        temps = np.array([r[3] for r in wave] + [0.0] * (nb - n), np.float32)
+
+        key = (L, nb)
+        if key not in self._prefill:
+            self._prefill[key] = jax.jit(
+                partial(_prefill_kernel, self.llm_cfg, self.cfg),
+                donate_argnums=(1,),
+            )
+        self._rng, admit_rng = jax.random.split(self._rng)
+        self._cache, first_toks = self._prefill[key](
+            self.params, self._cache, seqs, jnp.asarray(lengths),
+            jnp.asarray(slot_ids), jnp.asarray(temps), admit_rng,
+            lora=self.lora, lora_scaling=self.lora_scaling,
+        )
+        idx = jnp.asarray(slot_ids)
+        self._temps = self._temps.at[idx].set(jnp.asarray(temps))
+        self._tok = self._tok.at[idx].set(first_toks)
+        self._cur_len = self._cur_len.at[idx].set(jnp.asarray(lengths))
+        self._done = self._done.at[idx].set(first_toks == self.cfg.eos_token_id)
+        # scratch row never decodes as live
+        self._done = self._done.at[self._scratch].set(True)
+        first_host = np.asarray(first_toks)
+        for j, (rid, _e, length, _t) in enumerate(wave):
+            i = int(slot_ids[j])
+            self._slots[i] = _Slot(rid, length, [], True)
+            self._record(i, int(first_host[j]))
+
+    def _collect(self, toks: np.ndarray) -> None:
+        """Record a (n_inner, S+1) emitted-token block in step order."""
+        for row in toks:
+            for i, slot in enumerate(self._slots):
+                if slot.active:
+                    self._record(i, int(row[i]))
 
     def _record(self, i: int, tok: int) -> None:
         """Append one freshly emitted token; finish on EOS or length cap.

@@ -29,5 +29,7 @@ class BaseModel(abc.ABC):
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "BaseModel":
-        """(ref :66-76)"""
-        raise NotImplementedError
+        """(ref :66-76) — dispatch through the factory."""
+        from .factory import create_model
+
+        return create_model(**config)

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..data.collate import ICLSample, collate_icl_batch
 from ..data.packing import PackConfig
+from .base import BaseModel
 from ..training.checkpoint import apply_trainable, load_checkpoint
 
 # NB: inference.engine is imported lazily inside SalmonnModel — a module-level
@@ -53,7 +54,7 @@ QWEN_PRESETS = {
 }
 
 
-class SalmonnModel:
+class SalmonnModel(BaseModel):
     """High-level model: config + params + tokenizer + compiled fns.
 
     The reference equivalent is CustomSALMONN (models/custom_salmon.py); here
@@ -114,7 +115,7 @@ class SalmonnModel:
         return state.get("meta", {})
 
 
-class QwenAudioModel:
+class QwenAudioModel(BaseModel):
     """High-level Qwen2-Audio model with the BaseModel-compatible surface
     (ref equivalent: CustomQwen, models/custom_qwen.py)."""
 

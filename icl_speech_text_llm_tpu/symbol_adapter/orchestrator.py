@@ -135,6 +135,12 @@ def build_training_world(config: TrainingConfig, seed: int = 0):
         if config.data_config.fewshot_mode == "speech"
         else 1
     )
+    if any(dt.value == "sqa" for dt in set(train_types) | set(val_types)):
+        # SQA carries question+document audio per item (ref sqa_config dual
+        # audio): 2 slots each for the main item and any speech exemplars
+        k = (config.data_config.num_examples
+             if config.data_config.fewshot_mode == "speech" else 0)
+        n_slots = max(n_slots, 2 * k + 2)
     pack_cfg = PackConfig(
         seq_len=2048, text_len=1024, max_slots=n_slots,
         audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,

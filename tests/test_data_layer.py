@@ -131,6 +131,28 @@ def test_pack_budget_errors():
         pack_batch([sample], PackConfig(seq_len=64, text_len=64, max_slots=1))
 
 
+def test_collate_auto_grows_over_budget_batch():
+    """Oversized samples re-bucket instead of aborting (ref behavior: big
+    prompts just ran slower — round-1 VERDICT weak #9)."""
+    import numpy as np
+
+    from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
+    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+
+    tok = get_tokenizer()
+    plan = build_default_prompt("T" * 50, "word " * 600, [], input_mode="text_only",
+                                fewshot_mode="text")
+    sample = ICLSample(plan=plan, completion="positive", slot_audio={})
+    small = PackConfig(seq_len=64, text_len=64, max_slots=1)
+    batch = collate_icl_batch([sample], tok, small)
+    assert batch.text_tokens.shape[1] >= 600  # grew past the 64 budget
+    assert batch.text_tokens.shape[1] % 128 == 0  # coarse bucket steps
+    assert np.sum(batch.seq_mask[0]) > 64
+    # strict mode still raises
+    with pytest.raises(PackError):
+        collate_icl_batch([sample], tok, small, auto_grow=False)
+
+
 def test_factory_validation():
     with pytest.raises(ValueError):
         create_dataset(DatasetType.VOXCELEB, input_mode="bogus", synthetic=True)
