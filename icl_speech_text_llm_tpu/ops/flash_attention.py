@@ -164,13 +164,15 @@ def _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k):
     )(lengths, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention_diff(q, k, v, lengths, causal, sm_scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention_diff(q, k, v, lengths, causal, sm_scale, block_q, block_k,
+                          bwd_block_q, bwd_block_k):
     o, _, _ = _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k)
     return o
 
 
-def _flash_fwd_rule(q, k, v, lengths, causal, sm_scale, block_q, block_k):
+def _flash_fwd_rule(q, k, v, lengths, causal, sm_scale, block_q, block_k,
+                    bwd_block_q, bwd_block_k):
     o, m, l = _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k)
     return o, (q, k, v, lengths, o, m[:, :, 0], l[:, :, 0])
 
@@ -345,11 +347,14 @@ def _flash_backward(q, k, v, lengths, o, m, l, do, causal, sm_scale,
     return dq, dk, dv
 
 
-def _flash_bwd_rule(causal, sm_scale, block_q, block_k, res, do):
-    """Backward via the dedicated Pallas kernels (dq + dkv)."""
+def _flash_bwd_rule(causal, sm_scale, block_q, block_k, bwd_block_q,
+                    bwd_block_k, res, do):
+    """Backward via the dedicated Pallas kernels (dq + dkv), with their own
+    measured block sizes (independent of the forward's)."""
     q, k, v, lengths, o, m, l = res
     dq, dk, dv = _flash_backward(
-        q, k, v, lengths, o, m, l, do, causal, sm_scale, block_q, block_k
+        q, k, v, lengths, o, m, l, do, causal, sm_scale,
+        bwd_block_q, bwd_block_k,
     )
     return dq, dk, dv, None
 
@@ -423,8 +428,27 @@ def default_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
     return pick(512, seq_len), pick(kv_len, kv_len)
 
 
+def default_bwd_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
+    """Measured backward block heuristic (scripts/sweep_flash_bwd.py, v5e).
+
+    The backward kernels accumulate over the *other* axis of the grid, so the
+    forward's huge-KV-tile choice is not optimal there. Sweep (round 2):
+    causal prefill 4×8×1536×128 → best (256,256), 92.4 ms = 1.29× XLA
+    autodiff; non-causal encoder 24×8×1536×64 → best (256,128), 616 ms =
+    1.13× XLA (large K tiles collapse to 0.54×)."""
+
+    def pick(target, n):
+        for b in (target, 512, 256, 128):
+            if b <= n and n % b == 0:
+                return b
+        return n
+
+    return pick(256, seq_len), pick(256 if causal else 128, kv_len)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k")
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k",
+                              "bwd_block_q", "bwd_block_k")
 )
 def flash_attention(
     q: jnp.ndarray,  # (B, H, S, D)
@@ -435,10 +459,13 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    bwd_block_q: Optional[int] = None,
+    bwd_block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention (differentiable). Requires S % block_q == 0,
-    S_kv % block_k == 0, D >= 64 (use ops.attention otherwise). Block sizes
-    default to the measured heuristic (``default_blocks``)."""
+    S_kv % block_k == 0, D >= 64 (use ops.attention otherwise). Forward and
+    backward block sizes default to their own measured heuristics
+    (``default_blocks`` / ``default_bwd_blocks``)."""
     B, H, S, D = q.shape
     S_kv = k.shape[2]
     bq, bk = default_blocks(S, S_kv, causal)
@@ -446,12 +473,18 @@ def flash_attention(
         block_q = bq
     if block_k is None:
         block_k = bk
+    bbq, bbk = default_bwd_blocks(S, S_kv, causal)
+    if bwd_block_q is None:
+        bwd_block_q = bbq
+    if bwd_block_k is None:
+        bwd_block_k = bbk
     if sm_scale is None:
         sm_scale = D**-0.5
     if lengths is None:
         lengths = jnp.full((B,), S_kv, jnp.int32)
     lengths = lengths.astype(jnp.int32)
-    return _flash_attention_diff(q, k, v, lengths, causal, sm_scale, block_q, block_k)
+    return _flash_attention_diff(q, k, v, lengths, causal, sm_scale,
+                                 block_q, block_k, bwd_block_q, bwd_block_k)
 
 
 def flash_attention_usable(seq_len: int, head_dim: int, block: int = 128) -> bool:

@@ -143,7 +143,7 @@ def test_pallas_backward_multiblock_vs_scan_oracle():
     for causal in (True, False):
         o, m, l = fa._flash_forward(q, k, v, lengths, causal, 0.5, 128, 128)
         res = (q, k, v, lengths, o, m[:, :, 0], l[:, :, 0])
-        dq_p, dk_p, dv_p, _ = fa._flash_bwd_rule(causal, 0.5, 128, 128, res, do)
+        dq_p, dk_p, dv_p, _ = fa._flash_bwd_rule(causal, 0.5, 128, 128, 128, 128, res, do)
         dq_s, dk_s, dv_s, _ = fa._flash_bwd_scan_rule(causal, 0.5, 128, 128, res, do)
         for a, b, name in ((dq_p, dq_s, "dq"), (dk_p, dk_s, "dk"), (dv_p, dv_s, "dv")):
             d = np.abs(np.asarray(a) - np.asarray(b)).max()
