@@ -137,8 +137,10 @@ def main(argv=None):
             "seq_lengths": np.asarray(packed.seq_lengths),
             **{k: np.asarray(v) for k, v in packed.audio.items()},
         }
-        seq, lengths = embed_fn(batch)
-        lengths = np.asarray(lengths)  # tiny; the embeddings stay on device
+        seq, _ = embed_fn(batch)
+        # lengths come straight from the host-side packed batch — syncing the
+        # jit output here would serialize every admission wave on the device
+        lengths = batch["seq_lengths"]
         rids = []
         for r in range(real):
             length = int(lengths[r])
@@ -147,8 +149,13 @@ def main(argv=None):
         return rids
 
     if args.warmup:
+        # warmup waves must be admit_batch-sized — the embed program is
+        # compiled per wave batch size, and a bigger warmup group would leave
+        # the steady-state program to compile inside the timed section
         k = min(args.warmup, len(dataset))
-        submit_group([dataset[w % len(dataset)] for w in range(k)])
+        for start in range(0, k, args.admit_batch):
+            submit_group([dataset[(start + w) % len(dataset)]
+                          for w in range(args.admit_batch)])
         engine.run()  # drain untimed — compiles prefill/decode/embed programs
 
     t0 = time.perf_counter()

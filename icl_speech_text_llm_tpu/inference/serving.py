@@ -13,7 +13,12 @@ admission). For production serving the TPU-native design is a *slot pool*:
   slots ride along masked (wasted lanes cost less than a recompile);
 - the host scheduler (admit / collect / free) runs between steps and never
   enters jit, so shapes stay static and there are exactly two compiled
-  programs per bucket set.
+  programs per bucket set;
+- all emitted tokens (admission first-tokens + fused decode blocks) stay on
+  device and are flushed to the host in ONE stacked transfer, normally only
+  when every active slot has provably hit its token budget — the scheduler
+  dispatches work asynchronously and pays one RPC per slot *generation*,
+  not one per wave or per decode block (critical on high-latency links).
 
 This is the TPU analog of vLLM-style continuous batching: XLA wants static
 shapes, so instead of paged block tables we keep per-slot contiguous KV and
@@ -53,9 +58,14 @@ class ServingConfig:
     # together, always padded to this size (ONE compiled prefill program per
     # bucket); padding rows land in a scratch slot
     admit_batch: int = 4
-    # decode steps fused per host round-trip (lax.scan inside one jit call) —
-    # amortizes the per-call dispatch/sync cost across tokens
+    # decode steps fused per jit call (lax.scan) — amortizes dispatch cost
     sync_every: int = 4
+    # decode blocks that may accumulate on device before a forced host flush.
+    # Flushes normally happen only when every active slot is *provably*
+    # finished (emitted >= max_new_tokens), so the common case is ONE host
+    # sync per slot generation; the cap bounds wasted lanes when early EOS
+    # would have freed slots much sooner in long-max_new configs.
+    max_pending_blocks: int = 16
 
     @property
     def cache_len(self) -> int:
@@ -68,6 +78,9 @@ class _Slot:
     prompt_len: int = 0
     tokens: List[int] = field(default_factory=list)
     active: bool = False
+    # emitted tokens still on device (deferred, not yet flushed to host):
+    # 1 for the prefill's first token + sync_every per decode block ridden
+    pending: int = 0
 
 
 def _bucket_for(length: int, buckets: Tuple[int, ...]) -> int:
@@ -182,6 +195,11 @@ class ContinuousBatchingEngine:
         self._results: Dict[int, List[int]] = {}
         self._next_id = 0
         self._prefill = {}  # (bucket L, n) -> jitted fn
+        # deferred token rows awaiting ONE batched host transfer:
+        # _pending_rows[i] is a device (rows_i, S+1) int32 block;
+        # _pending_meta[i] is ("admit", [slot ids]) or ("decode", n_inner)
+        self._pending_rows: List[jnp.ndarray] = []
+        self._pending_meta: List[Tuple[str, Any]] = []
         # ONE compiled decode program: always sync_every fused steps. Slots
         # whose budget ends mid-block just ride along masked — a wasted
         # micro-step costs ~ms, a fresh jit compile or an extra host sync
@@ -209,21 +227,75 @@ class ContinuousBatchingEngine:
         """Drain the queue + all in-flight slots; return finished results."""
         while self._queue or any(s.active for s in self._slots):
             self.step()
+        self._flush()
         out, self._results = self._results, {}
         return out
 
     def step(self) -> None:
-        """Admit waiting requests into free slots, then advance ``sync_every``
-        fused decode steps (one host round-trip)."""
+        """Admit waiting requests into free slots, advance ``sync_every``
+        fused decode steps, and flush deferred tokens to the host only when
+        every active slot is *provably* finished (or the pending cap hits).
+
+        Between flushes nothing blocks: prefill and decode programs are
+        dispatched asynchronously and their emitted-token rows accumulate on
+        device, so the steady state is ONE host round-trip per slot
+        generation instead of one per admission wave + one per decode block
+        (the round-1 engine's 90 ms-RPC-per-wave bottleneck)."""
         self._admit()
-        if not any(s.active for s in self._slots):
-            return
-        self._rng, step_rng = jax.random.split(self._rng)
-        self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
-            self.params, self._cache, self._tok, self._cur_len, self._done,
-            self._temps, step_rng, self.lora, self.lora_scaling,
+        riders = [i for i, s in enumerate(self._slots) if s.active]
+        if riders:
+            self._rng, step_rng = jax.random.split(self._rng)
+            self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
+                self.params, self._cache, self._tok, self._cur_len, self._done,
+                self._temps, step_rng, self.lora, self.lora_scaling,
+            )
+            self._pending_rows.append(toks)
+            # snapshot WHICH slots rode this block: a slot admitted after
+            # this dispatch must not consume its rows at flush time
+            self._pending_meta.append(("decode", (self._n_inner, riders)))
+            for i in riders:
+                self._slots[i].pending += self._n_inner
+        if self._pending_meta and (
+            self._all_provably_done()
+            or len(self._pending_meta) >= self.cfg.max_pending_blocks
+        ):
+            self._flush()
+
+    def _all_provably_done(self) -> bool:
+        """True if every active slot must have finished by now: the tokens
+        already on host plus the deferred device rows reach max_new_tokens
+        (EOS can only have ended it *earlier*)."""
+        return all(
+            len(s.tokens) + s.pending >= self.cfg.max_new_tokens
+            for s in self._slots
+            if s.active
         )
-        self._collect(np.asarray(toks))
+
+    def _flush(self) -> None:
+        """Materialize ALL deferred token rows in one device→host transfer
+        and run the bookkeeping (record, EOS/cap finish, slot free)."""
+        if not self._pending_meta:
+            return
+        rows = np.asarray(jnp.concatenate(self._pending_rows, axis=0))
+        meta, self._pending_meta, self._pending_rows = self._pending_meta, [], []
+        r = 0
+        for kind, info in meta:
+            if kind == "admit":
+                for i in info:
+                    if self._slots[i].active:
+                        self._slots[i].pending -= 1
+                        self._record(i, int(rows[r, i]))
+                r += 1
+            else:  # ("decode", (n_inner, rider slot ids))
+                n_inner, riders = info
+                for row in rows[r : r + n_inner]:
+                    for i in riders:
+                        # skip slots already finished (EOS or cap) by an
+                        # earlier entry of this same flush
+                        if self._slots[i].active:
+                            self._slots[i].pending -= 1
+                            self._record(i, int(row[i]))
+                r += n_inner
 
     # -- scheduler internals ------------------------------------------------
     def _admit(self) -> None:
@@ -285,18 +357,14 @@ class ContinuousBatchingEngine:
         self._done = self._done.at[idx].set(first_toks == self.cfg.eos_token_id)
         # scratch row never decodes as live
         self._done = self._done.at[self._scratch].set(True)
-        first_host = np.asarray(first_toks)
+        # defer the first-token fetch: scatter the wave's tokens into an
+        # (S+1,)-wide device row so the flush transfers ONE stacked array
+        row = jnp.zeros((len(self._slots) + 1,), jnp.int32).at[idx].set(first_toks)
+        self._pending_rows.append(row[None, :])
+        live = [int(slot_ids[j]) for j in range(n)]
+        self._pending_meta.append(("admit", live))
         for j, (rid, _e, length, _t) in enumerate(wave):
-            i = int(slot_ids[j])
-            self._slots[i] = _Slot(rid, length, [], True)
-            self._record(i, int(first_host[j]))
-
-    def _collect(self, toks: np.ndarray) -> None:
-        """Record a (n_inner, S+1) emitted-token block in step order."""
-        for row in toks:
-            for i, slot in enumerate(self._slots):
-                if slot.active:
-                    self._record(i, int(row[i]))
+            self._slots[live[j]] = _Slot(rid, length, [], True, pending=1)
 
     def _record(self, i: int, tok: int) -> None:
         """Append one freshly emitted token; finish on EOS or length cap.
