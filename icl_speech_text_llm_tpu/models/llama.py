@@ -334,6 +334,43 @@ def init_kv_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def run_layer_stack(
+    cfg: DecoderConfig,
+    layers,  # stacked layer tree, leading axis = n_local_layers
+    x: jnp.ndarray,  # (B, T, dim)
+    mask: jnp.ndarray,
+    positions: jnp.ndarray,
+    lora=None,  # stacked LoRA tree with the SAME leading axis, or None
+    lora_scaling: float = 1.0,
+    remat: bool = False,
+    flash_lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Scan a contiguous sub-stack of decoder layers (no KV cache).
+
+    The building block shared by ``decoder_forward`` (full stack) and
+    ``parallel/pipeline.py`` (each pipeline stage runs its local slice of the
+    stacked parameters). No final norm."""
+    inv_freq = jnp.asarray(rope_frequencies(cfg.hd, cfg.rope_theta))
+    use_lora = lora is not None
+    n_local = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    dummy = jnp.zeros((n_local, 1))
+
+    layer_fn = _layer_forward
+    if remat:
+        layer_fn = jax.checkpoint(_layer_forward, static_argnums=(0,))
+
+    def scan_body(x, sc):
+        layer, lo = sc
+        x, _ = layer_fn(
+            cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
+            positions, inv_freq, None, None, flash_lengths,
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(scan_body, x, (layers, lora if use_lora else dummy))
+    return x
+
+
 def decoder_forward(
     cfg: DecoderConfig,
     params: Dict[str, Any],

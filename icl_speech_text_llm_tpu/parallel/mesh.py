@@ -15,27 +15,33 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DP_AXIS = "dp"
+PP_AXIS = "pp"
 FSDP_AXIS = "fsdp"
 TP_AXIS = "tp"
-AXES = (DP_AXIS, FSDP_AXIS, TP_AXIS)
+AXES = (DP_AXIS, PP_AXIS, FSDP_AXIS, TP_AXIS)
 
 
 def make_mesh(
     dp: int = 1,
     fsdp: int = 1,
     tp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the available devices.
+    """Build a (dp, pp, fsdp, tp) mesh over the available devices.
 
     Axis sizes must multiply to the device count. TP should map to the
-    innermost (fastest ICI) axis, which ``create_device_mesh`` arranges.
+    innermost (fastest ICI) axis, which ``create_device_mesh`` arranges; pp
+    (stage-to-stage activations, one hop per microbatch tick) sits outside
+    fsdp/tp but inside dp.
     """
     devices = list(devices if devices is not None else jax.devices())
-    want = dp * fsdp * tp
+    want = dp * fsdp * tp * pp
     if want != len(devices):
-        raise ValueError(f"mesh {dp}x{fsdp}x{tp} = {want} != {len(devices)} devices")
-    mesh_devices = mesh_utils.create_device_mesh((dp, fsdp, tp), devices=devices)
+        raise ValueError(
+            f"mesh dp{dp}xpp{pp}xfsdp{fsdp}xtp{tp} = {want} != {len(devices)} devices"
+        )
+    mesh_devices = mesh_utils.create_device_mesh((dp, pp, fsdp, tp), devices=devices)
     return Mesh(mesh_devices, AXES)
 
 

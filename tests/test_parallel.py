@@ -17,7 +17,7 @@ from icl_speech_text_llm_tpu.parallel.sharding import (
 
 def test_mesh_axes(cpu_devices):
     mesh = make_mesh(dp=2, fsdp=2, tp=2)
-    assert mesh.axis_names == ("dp", "fsdp", "tp")
+    assert mesh.axis_names == ("dp", "pp", "fsdp", "tp")
     assert mesh.devices.size == 8
     with pytest.raises(ValueError):
         make_mesh(dp=3, fsdp=1, tp=1)
