@@ -210,7 +210,9 @@ def bench_salmonn_7b(jax, tok):
     )
     from icl_speech_text_llm_tpu.models.whisper import init_whisper_encoder
 
-    B = int(os.environ.get("BENCH_7B_BATCH", "2"))
+    # batch 4 measured best on the v5e: 41.1% MFU / 2.72 utt/s vs 38.7% /
+    # 2.55 at batch 2 (decode amortizes weight reads; prefill fills the MXU)
+    B = int(os.environ.get("BENCH_7B_BATCH", "4"))
     NEW_TOKENS = 10
     cfg = dataclasses.replace(salmonn_7b(), encode_chunk=6)
 

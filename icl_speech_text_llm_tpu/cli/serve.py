@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_samples", type=int, default=8)
     p.add_argument("--max_new_tokens", type=int, default=10)
     p.add_argument("--num_slots", type=int, default=4)
+    p.add_argument("--sync_every", type=int, default=4,
+                   help="decode steps fused per dispatch (lax.scan block); "
+                        "set ~max_new_tokens-1 to reach one decode dispatch "
+                        "per slot generation")
     p.add_argument("--prompt_buckets", type=str, default="256,512",
                    help="comma-separated prompt-length buckets")
     p.add_argument("--seq_len", type=int, default=512)
@@ -97,7 +101,7 @@ def main(argv=None):
     )
     scfg = ServingConfig(
         num_slots=args.num_slots, max_new_tokens=args.max_new_tokens,
-        prompt_buckets=buckets,
+        prompt_buckets=buckets, sync_every=args.sync_every,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
     )
     llm_params = model.params["llm"]

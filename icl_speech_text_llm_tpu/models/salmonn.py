@@ -199,6 +199,7 @@ def salmonn_train_loss(
     batch: Dict[str, jnp.ndarray],
     lora_params: Optional[Dict[str, Any]] = None,
     remat: bool = False,
+    pipeline=None,  # (Mesh with a "pp" axis, n_micro) → GPipe the decoder
 ) -> jnp.ndarray:
     """Training forward: packed batch → mean CE over completion tokens.
 
@@ -206,6 +207,9 @@ def salmonn_train_loss(
     shifted_labels, wavs (B, n_slots, n_samples) — the mel frontend runs
     on-device (ops/mel.py), unlike the reference's per-item host extraction.
     ``lora_params`` overrides params["lora"] so gradients flow only through it.
+    ``pipeline=(mesh, n_micro)`` runs the decoder stack as a GPipe pipeline
+    over the mesh's "pp" axis (parallel/pipeline.py) — encoders/Q-Former stay
+    data-parallel (they are a small fraction of 13B-class parameters).
     """
     B = batch["text_tokens"].shape[0]
     wavs = wavs_to_float(batch["wavs"])
@@ -228,10 +232,19 @@ def salmonn_train_loss(
 
     lora = lora_params if lora_params is not None else params.get("lora")
     scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
-    hidden, _ = decoder_forward(
-        cfg.llm, params["llm"], seq, mask, positions,
-        lora=lora, lora_scaling=scaling, remat=remat,
-        flash_lengths=flash_lengths,
-    )
+    if pipeline is not None:
+        from ..parallel.pipeline import pipeline_decoder_forward
+
+        pp_mesh, n_micro = pipeline
+        hidden = pipeline_decoder_forward(
+            pp_mesh, cfg.llm, params["llm"], seq, mask, positions, n_micro,
+            lora=lora, lora_scaling=scaling, remat=remat,
+        )
+    else:
+        hidden, _ = decoder_forward(
+            cfg.llm, params["llm"], seq, mask, positions,
+            lora=lora, lora_scaling=scaling, remat=remat,
+            flash_lengths=flash_lengths,
+        )
     logits = lm_logits(cfg.llm, params["llm"], hidden)
     return cross_entropy_loss(logits, batch["shifted_labels"])

@@ -104,13 +104,15 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable = salmonn_train_loss,
     remat: bool = False,
+    pipeline=None,  # (Mesh with a "pp" axis, n_micro) → GPipe the decoder
 ) -> Callable:
     """Build the jitted train step: (state, frozen, batch) → (state, metrics)."""
 
     def step(state: TrainState, frozen: Dict[str, Any], batch: Dict[str, jnp.ndarray]):
         def compute_loss(trainable):
             params = merge_params(frozen, trainable)
-            return loss_fn(cfg, params, batch, remat=remat)
+            kw = {"pipeline": pipeline} if pipeline is not None else {}
+            return loss_fn(cfg, params, batch, remat=remat, **kw)
 
         loss, grads = jax.value_and_grad(compute_loss)(state.trainable)
         # non-finite-loss guard: make the batch a true no-op update — zeroed

@@ -95,6 +95,63 @@ def test_pp_layer_divisibility_guard(setup):
         pipeline_decoder_forward(mesh, cfg, params, x, mask, positions, N_MICRO)
 
 
+def test_train_step_with_pipeline_matches_plain():
+    """The FULL SALMONN train step with the decoder GPipe'd over pp=2 must
+    produce the same loss and the same updated trainable params as the plain
+    single-program step."""
+    from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
+    from icl_speech_text_llm_tpu.data.packing import PackConfig
+    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+    from icl_speech_text_llm_tpu.models.salmonn import init_salmonn, salmonn_tiny
+    from icl_speech_text_llm_tpu.training.step import (
+        OptimizerSettings,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer
+
+    cfg = salmonn_tiny()
+    assert cfg.llm.n_layers % 2 == 0
+    params = init_salmonn(jax.random.PRNGKey(0), cfg)
+    tok = get_tokenizer()
+    pack_cfg = PackConfig(seq_len=256, text_len=160, max_slots=1,
+                          audio_tokens_per_slot=cfg.audio_tokens_per_slot)
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(4):
+        plan = build_default_prompt("Say positive.", f"utt {i}", [],
+                                    input_mode="speech_only", fewshot_mode="text")
+        samples.append(ICLSample(
+            plan=plan, completion=["positive", "negative"][i % 2],
+            slot_audio={("main", 0): rng.randn(16000).astype(np.float32) * 0.05},
+        ))
+    b = collate_icl_batch(samples, tok, pack_cfg)
+    batch = {
+        "text_tokens": jnp.asarray(b.text_tokens),
+        "gather_idx": jnp.asarray(b.gather_idx),
+        "seq_mask": jnp.asarray(b.seq_mask),
+        "shifted_labels": jnp.asarray(b.labels_shifted),
+        "wavs": jnp.asarray(b.audio["wavs"]),
+    }
+
+    mesh = make_mesh(dp=2, pp=2, fsdp=2)
+    optimizer = make_optimizer(OptimizerSettings(learning_rate=1e-3))
+
+    def one_step(pipeline):
+        state, frozen = init_train_state(params, optimizer)
+        step_fn = make_train_step(cfg, optimizer, pipeline=pipeline)
+        state, metrics = step_fn(state, frozen, batch)
+        return float(metrics["loss"]), state.trainable
+
+    loss_plain, tr_plain = one_step(None)
+    loss_pp, tr_pp = one_step((mesh, 2))
+    assert abs(loss_plain - loss_pp) / abs(loss_plain) < 1e-5, (loss_plain, loss_pp)
+    for a, b_ in zip(jax.tree_util.tree_leaves(tr_plain),
+                     jax.tree_util.tree_leaves(tr_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-6)
+
+
 def test_single_stage_degenerates_to_plain(setup):
     """pp=1 is just the scan with microbatching — a schedule sanity anchor."""
     cfg, params, x, mask, positions = setup
