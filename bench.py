@@ -192,9 +192,13 @@ def bench_headline(jax, tok):
     return model_name, BATCH / per_call, p50
 
 
-def bench_salmonn_7b(jax, tok):
-    """Real-scale: Whisper-large-v2 + BEATs + Vicuna-7B (int8 decode weights),
-    30 s clips, k=5 speech exemplars → utt/s, MFU, decode tokens/s."""
+def bench_salmonn_7b(jax, tok, scale: str = "7b"):
+    """Real-scale: Whisper-large-v2 + BEATs + Vicuna-7B/13B (int8 decode
+    weights), 30 s clips, k=5 speech exemplars → utt/s, MFU, decode tokens/s.
+
+    ``scale="13b"`` benches the reference's SHIPPED flagship shape
+    (ref models/custom_salmon.py:29-51) — int8 makes the 13 GB decoder fit
+    one v5e; batch via BENCH_13B_BATCH (the HBM budget caps it below 7B's)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -207,14 +211,20 @@ def bench_salmonn_7b(jax, tok):
         encode_speech,
         init_beats,
         salmonn_7b,
+        salmonn_13b,
     )
     from icl_speech_text_llm_tpu.models.whisper import init_whisper_encoder
 
-    # batch 4 measured best on the v5e: 41.1% MFU / 2.72 utt/s vs 38.7% /
-    # 2.55 at batch 2 (decode amortizes weight reads; prefill fills the MXU)
-    B = int(os.environ.get("BENCH_7B_BATCH", "4"))
+    # batch 4 measured best on the v5e at 7B: 41.1% MFU / 2.72 utt/s vs
+    # 38.7% / 2.55 at batch 2 (decode amortizes weight reads; prefill fills
+    # the MXU)
+    if scale == "13b":
+        B = int(os.environ.get("BENCH_13B_BATCH", "2"))
+        cfg = dataclasses.replace(salmonn_13b(), encode_chunk=6)
+    else:
+        B = int(os.environ.get("BENCH_7B_BATCH", "4"))
+        cfg = dataclasses.replace(salmonn_7b(), encode_chunk=6)
     NEW_TOKENS = 10
-    cfg = dataclasses.replace(salmonn_7b(), encode_chunk=6)
 
     def to_bf16(tree):
         return jax.tree_util.tree_map(
@@ -279,7 +289,7 @@ def bench_salmonn_7b(jax, tok):
         "flops_per_batch_tf": round(flops / 1e12, 2),
         "batch": B,
         "clip_seconds": 30,
-        "note": "Whisper-large-v2 + BEATs-iter3 + Vicuna-7B shapes, int8 LLM weights, k=5 speech exemplars",
+        "note": f"Whisper-large-v2 + BEATs-iter3 + Vicuna-{scale.upper()} shapes, int8 LLM weights, k=5 speech exemplars",
     }
 
 
@@ -318,6 +328,12 @@ def main():
         except Exception as e:  # noqa: BLE001 — 7B failure must not kill the headline
             print(f"salmonn-7b bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             result["salmonn7b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    if os.environ.get("BENCH_13B"):  # flagship shape, opt-in (slow init)
+        try:
+            result["salmonn13b"] = bench_salmonn_7b(jax, tok, scale="13b")
+        except Exception as e:  # noqa: BLE001
+            print(f"salmonn-13b bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            result["salmonn13b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps(result))
 

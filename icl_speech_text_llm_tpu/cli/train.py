@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_interleave", dest="interleave", action="store_false")
     p.add_argument("--randomize_swap", action="store_true")
     # TPU-native additions
+    p.add_argument("--mesh", type=str, default=None,
+                   help="parallelism mesh 'dp,fsdp,tp[,pp]' (sizes multiply "
+                        "to the device count), e.g. 4,2,1 or 2,1,1,2; "
+                        "pp>1 GPipe-schedules the decoder")
+    p.add_argument("--pp_microbatches", type=int, default=2,
+                   help="microbatches per pipeline tick (pp>1); batch_size "
+                        "must be divisible by it")
     p.add_argument("--seq_len", type=int, default=2048)
     p.add_argument("--text_len", type=int, default=1024)
     p.add_argument("--tokenizer", type=str, default=None)
@@ -87,6 +94,20 @@ def main(argv=None):
     max_samples = args.max_samples or args.debug_samples
 
     model = create_model(args.model_type, tokenizer=args.tokenizer, seed=args.seed)
+
+    mesh = pipeline = None
+    if args.mesh:
+        from ..parallel import make_mesh
+        from ..parallel.sharding import shard_params
+
+        sizes = [int(x) for x in args.mesh.split(",")]
+        dp, fsdp, tp = (sizes + [1, 1, 1])[:3]
+        pp = sizes[3] if len(sizes) > 3 else 1
+        mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp, pp=pp)
+        model.params = shard_params(model.params, mesh)
+        if pp > 1:
+            pipeline = (mesh, args.pp_microbatches)
+
     n_slots = args.num_examples + 1 if args.fewshot_mode == "speech" else 1
     pack_cfg = PackConfig(
         seq_len=args.seq_len, text_len=args.text_len, max_slots=n_slots,
@@ -130,7 +151,8 @@ def main(argv=None):
     else:
         from ..models.salmonn import salmonn_train_loss as loss_fn
     step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
-                              remat=args.gradient_checkpointing)
+                              remat=args.gradient_checkpointing,
+                              pipeline=pipeline)
 
     settings = TrainSettings(
         num_epochs=args.num_epochs, batch_size=args.batch_size,
@@ -143,7 +165,8 @@ def main(argv=None):
                 "input_mode": args.input_mode, "fewshot_mode": args.fewshot_mode,
                 "num_examples": args.num_examples}
     state = train(model, state, frozen, step_fn, train_ds, pack_cfg, settings,
-                  val_dataset=val_ds, dataset_types=dataset_types, metadata=metadata)
+                  val_dataset=val_ds, dataset_types=dataset_types,
+                  metadata=metadata, mesh=mesh)
     print(f"done: {int(state.step)} steps")
     return state
 

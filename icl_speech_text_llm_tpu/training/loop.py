@@ -43,14 +43,19 @@ class TrainSettings:
     shard_data: bool = True  # per-host input sharding (ref DistributedSampler)
 
 
-def _device_batch(batch):
-    return {
+def _device_batch(batch, mesh=None):
+    out = {
         "text_tokens": jnp.asarray(batch.text_tokens),
         "gather_idx": jnp.asarray(batch.gather_idx),
         "seq_mask": jnp.asarray(batch.seq_mask),
         "shifted_labels": jnp.asarray(batch.labels_shifted),
         "wavs": jnp.asarray(batch.audio["wavs"]),
     }
+    if mesh is not None:
+        from ..parallel.sharding import shard_batch
+
+        out = shard_batch(out, mesh)
+    return out
 
 
 def iter_batches(dataset, batch_size: int, tokenizer, pack_cfg: PackConfig,
@@ -123,6 +128,7 @@ def train(
     val_dataset=None,
     dataset_types: Optional[List[DatasetType]] = None,
     metadata: Optional[Dict[str, Any]] = None,
+    mesh=None,  # jax.sharding.Mesh → batches placed per the GSPMD rules
 ) -> TrainState:
     """Run the full training schedule; returns the final state."""
     tracker = PerformanceTracker(log_interval=10)
@@ -174,7 +180,7 @@ def train(
         try:
             for batch in batches:
                 try:
-                    state, metrics = step_fn(state, frozen, _device_batch(batch))
+                    state, metrics = step_fn(state, frozen, _device_batch(batch, mesh))
                 except KeyboardInterrupt:
                     raise
                 except Exception as e:

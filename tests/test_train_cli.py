@@ -34,3 +34,22 @@ def test_train_cli_resume(tmp_path):
         "--resume_from_checkpoint", str(ckpts[-1]),
     ])
     assert state is not None
+
+
+def test_train_cli_mesh_pipeline(tmp_path):
+    """--mesh dp,fsdp,tp,pp end-to-end: sharded params + GPipe'd decoder.
+
+    Needs the 8-device virtual mesh (conftest forces it for the CPU suite)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    state = main([
+        "--dataset_type", "voxceleb", "--model_type", "salmonn-tiny",
+        "--synthetic", "--num_epochs", "1", "--batch_size", "4",
+        "--max_samples", "4", "--output_dir", str(tmp_path),
+        "--mesh", "2,2,1,2", "--pp_microbatches", "2",
+        "--seq_len", "512", "--text_len", "320",
+    ])
+    assert state is not None and int(state.step) >= 1
