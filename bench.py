@@ -218,12 +218,17 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     # batch 4 measured best on the v5e at 7B: 41.1% MFU / 2.72 utt/s vs
     # 38.7% / 2.55 at batch 2 (decode amortizes weight reads; prefill fills
     # the MXU)
+    # 13B uses int4 (group-128): int8 13B = 12.7 GB decoder + 1.6 GB bf16
+    # encoders + 0.85 GB/sample MHA KV cache OOMs the 16 GB v5e even at
+    # batch 1 (measured); int4 (6.4 GB) fits with room for batch 2+
     if scale == "13b":
         B = int(os.environ.get("BENCH_13B_BATCH", "2"))
         cfg = dataclasses.replace(salmonn_13b(), encode_chunk=6)
+        bits = 4
     else:
         B = int(os.environ.get("BENCH_7B_BATCH", "4"))
         cfg = dataclasses.replace(salmonn_7b(), encode_chunk=6)
+        bits = 8
     NEW_TOKENS = 10
 
     def to_bf16(tree):
@@ -236,7 +241,7 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
         "whisper": to_bf16(init_whisper_encoder(kw, cfg.whisper)),
         "beats": to_bf16(init_beats(kb, cfg.beats)),
         "qformer": to_bf16(init_qformer(kq, cfg.qformer)),
-        "llm": init_decoder_quantized(kl, cfg.llm),
+        "llm": init_decoder_quantized(kl, cfg.llm, bits=bits),
         "lora": init_lora(klo, cfg.llm, cfg.lora),
     }
     seq_len, text_len = 1024, 448
@@ -289,7 +294,7 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
         "flops_per_batch_tf": round(flops / 1e12, 2),
         "batch": B,
         "clip_seconds": 30,
-        "note": f"Whisper-large-v2 + BEATs-iter3 + Vicuna-{scale.upper()} shapes, int8 LLM weights, k=5 speech exemplars",
+        "note": f"Whisper-large-v2 + BEATs-iter3 + Vicuna-{scale.upper()} shapes, int{bits} LLM weights, k=5 speech exemplars",
     }
 
 

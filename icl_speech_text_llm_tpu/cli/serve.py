@@ -66,8 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="requests to run untimed first (compile warmup) so the "
                         "throughput summary reflects steady state")
     p.add_argument("--quantize_int8", action="store_true",
-                   help="weight-only int8 LLM decode (halves weight HBM reads; "
-                        "lets 13B-class LLMs fit a single v5e chip)")
+                   help="weight-only int8 LLM decode (halves weight HBM reads)")
+    p.add_argument("--quantize_int4", action="store_true",
+                   help="weight-only group-128 int4 LLM decode (quarters "
+                        "weight HBM reads; fits Vicuna-13B + encoders + KV "
+                        "on a single 16 GB v5e chip)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -105,10 +108,11 @@ def main(argv=None):
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
     )
     llm_params = model.params["llm"]
-    if args.quantize_int8:
+    if args.quantize_int8 or args.quantize_int4:
         from ..ops.quant import quantize_decoder
 
-        llm_params = quantize_decoder(llm_params)
+        llm_params = quantize_decoder(
+            llm_params, bits=4 if args.quantize_int4 else 8)
     engine = ContinuousBatchingEngine(
         model.cfg.llm, llm_params, scfg,
         lora=model.params.get("lora"),

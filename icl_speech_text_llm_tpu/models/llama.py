@@ -124,18 +124,27 @@ def init_decoder(key, cfg: DecoderConfig) -> Dict[str, Any]:
     return params
 
 
-def init_decoder_quantized(key, cfg: DecoderConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Random-init decoder directly in the int8 serving layout.
+def init_decoder_quantized(key, cfg: DecoderConfig, dtype=jnp.bfloat16,
+                           bits: int = 8, group: int = 128) -> Dict[str, Any]:
+    """Random-init decoder directly in the int8/int4 serving layout.
 
     For benchmarking real-scale (7B/13B) models on one chip: builds the same
-    tree quantize_decoder produces — int8 ``{"q","s"}`` matmul weights,
-    ``dtype`` embeddings/norms — without ever materializing f32 weights
-    (a 7B f32 init would need 27 GB; this needs ~7 GB).
+    tree quantize_decoder produces — ``{"q","s"}`` (int8) or ``{"q4","s"}``
+    (group-wise int4) matmul weights, ``dtype`` embeddings/norms — without
+    ever materializing f32 weights (a 7B f32 init would need 27 GB; int8
+    needs ~7 GB, int4 ~3.5 GB).
     """
     hd = cfg.hd
     q_out, kv_out = cfg.n_heads * hd, cfg.n_kv_heads * hd
 
     def qtensor(k, d_in, d_out):
+        if bits == 4:
+            packed = jax.random.randint(
+                k, (cfg.n_layers, d_in // 2, d_out), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
+            s = jnp.full((cfg.n_layers, d_in // group, d_out),
+                         (d_in**-0.5) / 4.6, jnp.float32)  # nibble std ≈ 4.6
+            return {"q4": packed, "s": s}
         q = jax.random.randint(k, (cfg.n_layers, d_in, d_out), -127, 128, jnp.int8)
         s = jnp.full((cfg.n_layers, d_out), (d_in**-0.5) / 127.0, jnp.float32)
         return {"q": q, "s": s}

@@ -1,0 +1,128 @@
+"""Pallas int4×bf16 matmul for the KV-cached decode path.
+
+Decode at 13B scale is pure HBM bandwidth: every generated token reads every
+decoder weight once. Weight-only int4 (ops/quant.py, split-half packed,
+group-wise scales) quarters those bytes — but only if the nibble unpack FUSES
+into the matmul. XLA materializes the unpacked bf16 operand instead (measured
+on the v5e: Vicuna-13B decode collapsed to 5.6 tok/s through the XLA unpack
+path — worse than just reading bf16). This kernel streams the PACKED tiles
+through VMEM and unpacks in-register, so HBM sees exactly the 4-bit bytes.
+
+Schedule (measured iterations):
+1. one quant-group (128 rows) per grid step → 540 programs for a 13B w_down;
+   per-step overhead capped the stream at 21 GB/s;
+2. multi-group tiles with dynamic ``pl.dslice`` into a whole-K x block →
+   Mosaic compile exploded (>8 min);
+3. (current) x enters PRE-SPLIT as its low/high nibble halves, each with a
+   per-step BlockSpec — every in-kernel slice is static. Each grid step
+   loads a (block_k, block_n) packed tile covering ``block_k/group`` quant
+   groups and unrolls over them: int32 nibble extract (Mosaic has no i8
+   vector sub/shift) → two small dots, each scaled by that group's
+   per-column scales. Split-half packing (ops/quant.py) means a tile's low
+   nibbles are rows [k·bk, k·bk+bk) and its high nibbles the same rows
+   offset by K/2 — no row interleave anywhere.
+
+f32 accumulator in VMEM scratch, written once per N tile. Prefill keeps the
+XLA unpack path (M is thousands there; the unpack cost amortizes and XLA's
+matmul is better at big M).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc, *,
+                 n_k: int, group: int, sub: int):
+    """One (n, k) grid step: ``sub`` quant groups of packed rows → 2·sub dots.
+
+    Blocks (all static): x_lo/x_hi (M, bk) — this step's input rows for the
+    low/high nibbles; w (bk, bn) packed uint8; s_lo/s_hi (sub, bn) scales.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[...] = jnp.zeros(acc.shape, jnp.float32)
+
+    dot = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
+    for j in range(sub):  # static unroll over the tile's quant groups
+        rows = slice(j * group, (j + 1) * group)
+        w32 = w_ref[rows, :].astype(jnp.int32)
+        lo = ((w32 & 0xF) - 8).astype(x_lo_ref.dtype)
+        hi = ((w32 >> 4) - 8).astype(x_hi_ref.dtype)
+        acc[...] += dot(x_lo_ref[:, rows], lo) * s_lo_ref[0, j:j + 1, :]
+        acc[...] += dot(x_hi_ref[:, rows], hi) * s_hi_ref[0, j:j + 1, :]
+
+    @pl.when(k == n_k - 1)
+    def _store():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
+                block_n: int = 1536, block_k: int = 512) -> jnp.ndarray:
+    """x (M, K) @ int4-packed weight → (M, N).
+
+    ``packed`` (K/2, N) uint8 split-half nibbles, ``scales`` (K/group, N) f32
+    (group inferred; both halves hold whole groups by construction)."""
+    M, K = x.shape
+    half, N = packed.shape
+    n_groups = scales.shape[0]
+    group = K // n_groups
+    g_half = n_groups // 2
+    # largest multiple of 128 ≤ block_n dividing N; largest multiple of
+    # ``group`` ≤ block_k dividing half (both exist: N % 128 == 0 is gated,
+    # half % group == 0 by construction)
+    bn = next(b for b in range(min(block_n, N), 0, -128) if N % b == 0)
+    bk = next(b for b in range(min(block_k, half), 0, -group) if half % b == 0)
+    sub = bk // group
+    n_k = half // bk
+    grid = (N // bn, n_k)
+    kernel = functools.partial(_int4_kernel, n_k=n_k, group=group, sub=sub)
+    x_lo, x_hi = x[:, : K // 2], x[:, K // 2:]
+    # scales regrouped per K tile: (n_k, sub, N) so the block's last two dims
+    # match the array exactly (Mosaic's sublane rule forbids a bare (sub, bn)
+    # block when sub < 8); the kernel indexes rows statically
+    s_lo = scales[:g_half].reshape(n_k, sub, N)
+    s_hi = scales[g_half:].reshape(n_k, sub, N)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((M, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, sub, bn), lambda n, k: (k, 0, n)),
+            pl.BlockSpec((1, sub, bn), lambda n, k: (k, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x_lo, x_hi, packed, s_lo, s_hi)
+
+
+def int4_matmul_usable(x_shape, packed_shape, scales_shape,
+                       max_rows: int = 64) -> bool:
+    """Kernel gate: TPU backend, decode-sized M, MXU/VPU-friendly tiles."""
+    if jax.default_backend() != "tpu":
+        return False
+    if len(x_shape) != 2 or len(packed_shape) != 2:
+        return False
+    M, K = x_shape
+    half, N = packed_shape
+    if M > max_rows or K != half * 2 or N % 128:
+        return False
+    n_groups = scales_shape[0]
+    if K % n_groups or n_groups % 2:
+        return False
+    group = K // n_groups
+    # tiles must be full sublane×lane multiples for Mosaic
+    return group % 128 == 0 and half % group == 0

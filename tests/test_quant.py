@@ -32,6 +32,63 @@ def test_quantize_tensor_roundtrip():
     )
 
 
+def test_int4_roundtrip_exact_on_grid():
+    """Weights that are exact scale-multiples must round-trip EXACTLY through
+    pack → unpack (catches nibble-order / offset / group-indexing bugs)."""
+    from icl_speech_text_llm_tpu.ops.quant import _dequant_int4, quantize_tensor_int4
+
+    rng = np.random.RandomState(0)
+    scale = 0.02
+    w = (rng.randint(-7, 8, size=(256, 96)) * scale).astype(np.float32)
+    qt = quantize_tensor_int4(jnp.asarray(w), group=128)
+    assert qt["q4"].shape == (128, 96) and qt["q4"].dtype == jnp.uint8
+    assert qt["s"].shape == (2, 96)
+    deq = np.asarray(_dequant_int4(qt, jnp.float32))
+    np.testing.assert_allclose(deq, w, rtol=0, atol=1e-6)
+
+
+def test_int4_matmul_and_error_bound():
+    from icl_speech_text_llm_tpu.ops.quant import _dequant_int4, quantize_tensor_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 64)) * 0.1
+    qt = quantize_tensor_int4(w, group=64)
+    deq = _dequant_int4(qt, jnp.float32)
+    # per-element error bounded by half an int4 step within its group
+    err = np.abs(np.asarray(deq - w))
+    bound = np.repeat(np.asarray(qt["s"]), 64, axis=0) / 2 + 1e-7
+    assert (err <= bound).all()
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 256))
+    np.testing.assert_allclose(
+        np.asarray(dequant_matmul(x, qt)), np.asarray(x @ deq), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_int4_stacked_decoder_runs_and_tracks_f32():
+    """bits=4 decoder: scan-compatible stacked layout; logits track the f32
+    model loosely (group-wise int4 ~1.5% weight error on random weights)."""
+    cfg = DECODER_CONFIGS["tiny"]
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_decoder(params, bits=4, group=64)
+    assert qparams["layers"]["attn"]["wq"]["q4"].dtype == jnp.uint8
+
+    ids = np.array([[3, 17, 42, 7, 99, 5, 23, 61]])
+    S = ids.shape[1]
+    mask = make_prefill_mask(jnp.array([S]), S)
+    pos = jnp.arange(S)[None]
+
+    def logits(p):
+        emb = embed_tokens(p, jnp.asarray(ids))
+        hidden, _ = decoder_forward(cfg, p, emb, mask, pos)
+        return np.asarray(lm_logits(cfg, p, hidden))
+
+    full, quant = logits(params), logits(qparams)
+    scale = np.abs(full).max()
+    # random-weight tiny decoder = worst case (near-uniform logits, ~1.5%
+    # weight noise compounding through layers); bit-exactness of the packing
+    # itself is pinned by test_int4_roundtrip_exact_on_grid
+    assert np.abs(full - quant).max() / scale < 0.4, np.abs(full - quant).max()
+
+
 def test_quantized_decoder_close_and_stacked():
     cfg = DECODER_CONFIGS["tiny"]
     params = init_decoder(jax.random.PRNGKey(0), cfg)
