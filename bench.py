@@ -222,7 +222,7 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     # encoders + 0.85 GB/sample MHA KV cache OOMs the 16 GB v5e even at
     # batch 1 (measured); int4 (6.4 GB) fits with room for batch 2+
     if scale == "13b":
-        B = int(os.environ.get("BENCH_13B_BATCH", "2"))
+        B = int(os.environ.get("BENCH_13B_BATCH", "4"))
         cfg = dataclasses.replace(salmonn_13b(), encode_chunk=6)
         bits = 4
     else:
