@@ -14,11 +14,16 @@ admission). For production serving the TPU-native design is a *slot pool*:
 - the host scheduler (admit / collect / free) runs between steps and never
   enters jit, so shapes stay static and there are exactly two compiled
   programs per bucket set;
-- all emitted tokens (admission first-tokens + fused decode blocks) stay on
-  device and are flushed to the host in ONE stacked transfer, normally only
-  when every active slot has provably hit its token budget — the scheduler
-  dispatches work asynchronously and pays one RPC per slot *generation*,
-  not one per wave or per decode block (critical on high-latency links).
+- the schedule is HOST-DETERMINISTIC: a slot's occupant provably finishes
+  once ``max_new_tokens`` steps are scheduled (EOS only ends it earlier),
+  so slots are reclaimed and refilled without reading any token back.
+  Emitted tokens stay on device and materialize in ONE stacked transfer at
+  drain (or at the pending cap), where the meta log is REPLAYED into
+  per-request results — the whole workload runs as one async dispatch
+  chain with zero syncs on the critical path (critical on high-dispatch-
+  latency links; measured indistinguishable from the sync-per-generation
+  variant through this box's tunnel, whose hour-to-hour drift exceeds the
+  difference — see OPTIMIZATIONS.md).
 
 This is the TPU analog of vLLM-style continuous batching: XLA wants static
 shapes, so instead of paged block tables we keep per-slot contiguous KV and
@@ -61,10 +66,9 @@ class ServingConfig:
     # decode steps fused per jit call (lax.scan) — amortizes dispatch cost
     sync_every: int = 4
     # decode blocks that may accumulate on device before a forced host flush.
-    # Flushes normally happen only when every active slot is *provably*
-    # finished (emitted >= max_new_tokens), so the common case is ONE host
-    # sync per slot generation; the cap bounds wasted lanes when early EOS
-    # would have freed slots much sooner in long-max_new configs.
+    # The deterministic schedule never NEEDS a flush until drain; the cap
+    # bounds replay-log memory and the lanes wasted when early EOS would
+    # have freed slots sooner in long-max_new configs.
     max_pending_blocks: int = 16
 
     @property
@@ -74,13 +78,14 @@ class ServingConfig:
 
 @dataclass
 class _Slot:
+    """REPLAY state for one device slot's current occupant — reconstructed
+    lazily at flush time from the meta log (scheduling itself never touches
+    these; it runs on the deterministic ``_sched`` budget counters)."""
+
     request_id: int = -1
     prompt_len: int = 0
     tokens: List[int] = field(default_factory=list)
     active: bool = False
-    # emitted tokens still on device (deferred, not yet flushed to host):
-    # 1 for the prefill's first token + sync_every per decode block ridden
-    pending: int = 0
 
 
 def _bucket_for(length: int, buckets: Tuple[int, ...]) -> int:
@@ -197,9 +202,17 @@ class ContinuousBatchingEngine:
         self._prefill = {}  # (bucket L, n) -> jitted fn
         # deferred token rows awaiting ONE batched host transfer:
         # _pending_rows[i] is a device (rows_i, S+1) int32 block;
-        # _pending_meta[i] is ("admit", [slot ids]) or ("decode", n_inner)
+        # _pending_meta[i] is ("admit", [(slot, rid, len)]) or
+        # ("decode", (n_inner, rider slot ids))
         self._pending_rows: List[jnp.ndarray] = []
         self._pending_meta: List[Tuple[str, Any]] = []
+        # DETERMINISTIC host-side schedule: tokens scheduled so far for each
+        # device slot's current occupant (None = never occupied). A slot's
+        # lifetime is budget-bound — ``sched >= max_new_tokens`` proves its
+        # occupant finished WITHOUT reading any token back, so admission
+        # reuses slots with zero host syncs on the critical path. The _Slot
+        # structs above are REPLAY state, reconstructed lazily at flush.
+        self._sched: List[Optional[int]] = [None] * S
         # ONE compiled decode program: always sync_every fused steps. Slots
         # whose budget ends mid-block just ride along masked — a wasted
         # micro-step costs ~ms, a fresh jit compile or an extra host sync
@@ -225,25 +238,31 @@ class ContinuousBatchingEngine:
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue + all in-flight slots; return finished results."""
-        while self._queue or any(s.active for s in self._slots):
+        mx = self.cfg.max_new_tokens
+        while self._queue or any(s is not None and s < mx for s in self._sched):
             self.step()
         self._flush()
         out, self._results = self._results, {}
         return out
 
     def step(self) -> None:
-        """Admit waiting requests into free slots, advance ``sync_every``
-        fused decode steps, and flush deferred tokens to the host only when
-        every active slot is *provably* finished (or the pending cap hits).
+        """Admit waiting requests into free slots and advance ``sync_every``
+        fused decode steps. NOTHING on this path blocks: the schedule is
+        host-deterministic (a slot's occupant provably finishes once
+        ``max_new_tokens`` steps are scheduled — EOS can only end it earlier,
+        never later), so slots are reclaimed and refilled without reading a
+        single token back. Emitted-token rows accumulate on device and are
+        materialized in ONE stacked transfer at drain (``run``) or at the
+        ``max_pending_blocks`` cap — the whole workload becomes one async
+        dispatch chain (critical on high-dispatch-latency links).
 
-        Between flushes nothing blocks: prefill and decode programs are
-        dispatched asynchronously and their emitted-token rows accumulate on
-        device, so the steady state is ONE host round-trip per slot
-        generation instead of one per admission wave + one per decode block
-        (the round-1 engine's 90 ms-RPC-per-wave bottleneck)."""
+        The cost: a slot that hits EOS early still occupies its lane until
+        its budget is spent. The cap-triggered flush bounds that waste for
+        long-``max_new_tokens`` configs."""
         self._admit()
-        riders = [i for i, s in enumerate(self._slots) if s.active]
-        if riders:
+        riders = [i for i in range(len(self._slots)) if self._sched[i] is not None]
+        if riders and any(s < self.cfg.max_new_tokens
+                          for s in self._sched if s is not None):
             self._rng, step_rng = jax.random.split(self._rng)
             self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
                 self.params, self._cache, self._tok, self._cur_len, self._done,
@@ -254,26 +273,15 @@ class ContinuousBatchingEngine:
             # this dispatch must not consume its rows at flush time
             self._pending_meta.append(("decode", (self._n_inner, riders)))
             for i in riders:
-                self._slots[i].pending += self._n_inner
-        if self._pending_meta and (
-            self._all_provably_done()
-            or len(self._pending_meta) >= self.cfg.max_pending_blocks
-        ):
+                self._sched[i] += self._n_inner
+        if len(self._pending_meta) >= self.cfg.max_pending_blocks:
             self._flush()
-
-    def _all_provably_done(self) -> bool:
-        """True if every active slot must have finished by now: the tokens
-        already on host plus the deferred device rows reach max_new_tokens
-        (EOS can only have ended it *earlier*)."""
-        return all(
-            len(s.tokens) + s.pending >= self.cfg.max_new_tokens
-            for s in self._slots
-            if s.active
-        )
 
     def _flush(self) -> None:
         """Materialize ALL deferred token rows in one device→host transfer
-        and run the bookkeeping (record, EOS/cap finish, slot free)."""
+        and REPLAY the schedule: reconstruct slot occupancy from the meta
+        log (admissions create occupants; decode rows append to whichever
+        occupant was live), recording results with EOS/cap truncation."""
         if not self._pending_meta:
             return
         rows = np.asarray(jnp.concatenate(self._pending_rows, axis=0))
@@ -281,26 +289,30 @@ class ContinuousBatchingEngine:
         r = 0
         for kind, info in meta:
             if kind == "admit":
-                for i in info:
-                    if self._slots[i].active:
-                        self._slots[i].pending -= 1
-                        self._record(i, int(rows[r, i]))
+                for i, rid, length in info:
+                    # the previous occupant finished within the preceding
+                    # entries (admission required its budget spent)
+                    self._slots[i] = _Slot(rid, length, [], True)
+                    self._record(i, int(rows[r, i]))
                 r += 1
             else:  # ("decode", (n_inner, rider slot ids))
                 n_inner, riders = info
                 for row in rows[r : r + n_inner]:
                     for i in riders:
-                        # skip slots already finished (EOS or cap) by an
+                        # skip occupants already finished (EOS or cap) by an
                         # earlier entry of this same flush
                         if self._slots[i].active:
-                            self._slots[i].pending -= 1
                             self._record(i, int(row[i]))
                 r += n_inner
 
     # -- scheduler internals ------------------------------------------------
     def _admit(self) -> None:
+        mx = self.cfg.max_new_tokens
         while self._queue:
-            free = [i for i, s in enumerate(self._slots) if not s.active]
+            # a slot is free when its occupant's budget is provably spent —
+            # decided WITHOUT reading tokens back (deterministic schedule)
+            free = [i for i, s in enumerate(self._sched)
+                    if s is None or s >= mx]
             if not free:
                 return
             # take the queue head plus FIFO-following requests in the SAME
@@ -361,10 +373,12 @@ class ContinuousBatchingEngine:
         # (S+1,)-wide device row so the flush transfers ONE stacked array
         row = jnp.zeros((len(self._slots) + 1,), jnp.int32).at[idx].set(first_toks)
         self._pending_rows.append(row[None, :])
-        live = [int(slot_ids[j]) for j in range(n)]
-        self._pending_meta.append(("admit", live))
+        entries = []
         for j, (rid, _e, length, _t) in enumerate(wave):
-            self._slots[live[j]] = _Slot(rid, length, [], True, pending=1)
+            i = int(slot_ids[j])
+            entries.append((i, rid, length))
+            self._sched[i] = 1  # the prefill's first token
+        self._pending_meta.append(("admit", entries))
 
     def _record(self, i: int, tok: int) -> None:
         """Append one freshly emitted token; finish on EOS or length cap.
