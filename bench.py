@@ -5,7 +5,7 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is reported
 against the first recorded run of this harness (stored in BENCH_BASELINE.json
 once measured on TPU); until then it is null.
 
-Two measurements per run:
+Measurements per run:
 1. **salmonn-bench** (headline/trend): fixed ~150M topology, comparable across
    rounds — utt/s + p50 batch latency.
 2. **salmonn-7b** (real scale): Whisper-large-v2 + BEATs(iter3) + Vicuna-7B
@@ -13,6 +13,9 @@ Two measurements per run:
    30 s clips, k=5 speech exemplars. Reports utt/s, analytic-FLOPs MFU vs the
    chip's bf16 peak, decode tokens/s, and the prefill/decode split. Skipped on
    CPU smoke (BENCH_CPU=1) or with BENCH_SKIP_7B=1.
+3. **salmonn-13b** (BENCH_13B=1, opt-in — adds ~8 min): the reference's
+   SHIPPED flagship shape on ONE chip via int4 + the Pallas decode kernel.
+   Measured on v5e: 39.6% MFU, 1.81 utt/s, 63.5 decode tok/s at batch 4.
 
 Runs on whatever accelerator JAX offers (the real TPU chip under the driver;
 CPU with BENCH_CPU=1 for smoke). BENCH_MODEL=tiny selects the CPU-fast tiny

@@ -197,3 +197,11 @@ def test_int8_quality_on_trained_weights():
     acc_full = np.mean([w in p for w, p in zip(want, preds_full)])
     acc_int8 = np.mean([w in p for w, p in zip(want, preds_int8)])
     assert acc_full == acc_int8, (preds_full, preds_int8)
+
+    # int4 (group-wise) on the same trained model: the 13B-enabling layout
+    # must also preserve the task predictions on peaked (trained) logits
+    int4 = {**trained, "llm": quantize_decoder(trained["llm"], bits=4, group=64)}
+    toks_int4 = np.asarray(salmonn_generate(cfg, gen, int4, gen_batch))
+    preds_int4 = predictions(toks_int4)
+    acc_int4 = np.mean([w in p for w, p in zip(want, preds_int4)])
+    assert acc_full == acc_int4, (preds_full, preds_int4)
