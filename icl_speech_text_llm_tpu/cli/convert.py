@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--prefix", default="model.", help="HF key prefix to strip")
     p.add_argument("--quantize_int8", action="store_true",
                    help="store matmul weights as int8 {q,s} (serving layout)")
+    p.add_argument("--quantize_int4", action="store_true",
+                   help="store matmul weights as split-half packed group-128 "
+                        "int4 {q4,s} — the layout that fits SALMONN-13B on "
+                        "one 16 GB v5e (lm_head stays int8)")
     p.add_argument("--dtype", default="float32", choices=["float32", "float16"],
                    help="storage dtype for non-quantized float weights")
     return p
@@ -73,14 +77,15 @@ def main(argv=None):
 
     cfg = DECODER_CONFIGS[args.model_type]
     src = TensorSource(args.src)
+    mode = "int4" if args.quantize_int4 else ("int8" if args.quantize_int8 else False)
     manifest = stream_decoder_to_dir(
         src, cfg, args.dst, prefix=args.prefix,
-        quantize=args.quantize_int8, dtype=args.dtype,
+        quantize=mode, dtype=args.dtype,
     )
     logger.info("decoder converted → %s (%d tensors, quantize=%s)",
-                args.dst, len(manifest), args.quantize_int8)
+                args.dst, len(manifest), mode)
     print(json.dumps({"dst": args.dst, "tensors": len(manifest),
-                      "quantized": args.quantize_int8}))
+                      "quantized": mode}))
 
 
 if __name__ == "__main__":

@@ -117,6 +117,23 @@ def _quantize_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, s
 
 
+def _quantize_np_int4(w: np.ndarray, group: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+    """Split-half packed group-wise int4 (matches ops/quant.quantize_tensor_int4)."""
+    d_in, d_out = w.shape
+    wg = w.reshape(d_in // group, group, d_out)
+    s = np.abs(wg).max(axis=-2) / 7.0
+    s = np.where(s == 0.0, 1.0, s).astype(np.float32)
+    q = np.clip(np.round(wg / s[:, None, :]), -7, 7).astype(np.int8).reshape(d_in, d_out)
+    n = (q + 8).astype(np.uint8)
+    half = d_in // 2
+    return (n[:half] | (n[half:] << 4)), s
+
+
+def _int4_ok(w: np.ndarray, group: int = 128) -> bool:
+    d_in = w.shape[-2]
+    return w.ndim == 2 and d_in % 2 == 0 and (d_in // 2) % group == 0
+
+
 class _DirWriter:
     """Writes tensors (or per-layer slices of stacked tensors) into .npy
     memmaps under dst; tracks the manifest."""
@@ -180,13 +197,17 @@ def stream_decoder_to_dir(
     cfg,  # DecoderConfig
     dst: str,
     prefix: str = "model.",
-    quantize: bool = False,
+    quantize=False,  # False | True/"int8" | "int4"
     dtype: str = "float32",
 ) -> Dict[str, Any]:
     """HF LLaMA/Qwen2 decoder → on-disk param dir, one layer resident at a
-    time. Returns the manifest. ``quantize`` stores matmul weights as int8
-    ``{q, s}`` (the serving layout of ops/quant.quantize_decoder)."""
+    time. Returns the manifest. ``quantize`` stores matmul weights in the
+    serving layout of ops/quant.quantize_decoder: ``"int8"``/True → per-column
+    int8 ``{q, s}``; ``"int4"`` → split-half packed group-128 ``{q4, s}``
+    (the lm_head stays int8, mirroring quantize_decoder; tensors whose input
+    dim is int4-incompatible fall back to int8)."""
     out_dtype = np.dtype(dtype)
+    mode = {True: "int8", False: None}.get(quantize, quantize)
     writer = _DirWriter(dst)
 
     def g(name: str) -> np.ndarray:
@@ -196,9 +217,13 @@ def stream_decoder_to_dir(
         raise KeyError(f"missing weight: {prefix + name}")
 
     def emit(tree_path: str, w: np.ndarray, layer: Optional[int] = None):
-        if quantize and tree_path in _QUANT_PATHS:
-            q, s = _quantize_np(w)
-            pairs = [(tree_path + "/q", q), (tree_path + "/s", s)]
+        if mode and tree_path in _QUANT_PATHS:
+            if mode == "int4" and tree_path != "lm_head" and _int4_ok(w):
+                q4, s = _quantize_np_int4(w)
+                pairs = [(tree_path + "/q4", q4), (tree_path + "/s", s)]
+            else:
+                q, s = _quantize_np(w)
+                pairs = [(tree_path + "/q", q), (tree_path + "/s", s)]
         else:
             pairs = [(tree_path, w.astype(out_dtype) if w.dtype.kind == "f" else w)]
         for p, v in pairs:

@@ -173,3 +173,55 @@ def test_convert_cli(tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["quantized"] and out["tensors"] > 0
     assert (dst / "manifest.json").exists()
+
+
+def test_int4_streaming_matches_ops_quantizer(tmp_path):
+    """quantize="int4" emits the exact split-half packed layout of
+    ops/quant.quantize_tensor_int4 (group 128), lm_head stays int8, and the
+    loaded tree runs decoder_forward through the int4 dequant path."""
+    import jax
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.models.llama import decoder_forward, embed_tokens
+    from icl_speech_text_llm_tpu.ops.attention import make_prefill_mask
+    from icl_speech_text_llm_tpu.ops.quant import quantize_tensor_int4
+
+    cfg = DecoderConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                        n_kv_heads=2, hidden_dim=512)
+    sd = _hf_state_dict(cfg, seed=3)
+    src_dir = tmp_path / "hf"
+    _write_sharded(sd, str(src_dir))
+    dst = tmp_path / "converted_int4"
+    stream_decoder_to_dir(TensorSource(str(src_dir)), cfg, str(dst),
+                          quantize="int4")
+    tree = load_params_dir(str(dst))
+
+    wq = tree["layers"]["attn"]["wq"]
+    assert set(wq) == {"q4", "s"} and wq["q4"].dtype == np.uint8
+    assert set(tree["lm_head"]) == {"q", "s"}  # lm_head stays int8
+
+    # bit-exact vs the ops quantizer on the same (transposed, stacked) weights
+    ref_full = convert_hf_decoder(sd, cfg)
+    ref_qt = quantize_tensor_int4(jnp.asarray(ref_full["layers"]["attn"]["wq"]
+                                              ).reshape(cfg.n_layers, cfg.dim, -1)[0],
+                                  group=128)
+    np.testing.assert_array_equal(np.asarray(wq["q4"][0]), np.asarray(ref_qt["q4"]))
+    np.testing.assert_allclose(np.asarray(wq["s"][0]), np.asarray(ref_qt["s"]),
+                               rtol=1e-6)
+
+    # the loaded int4 tree must run the decoder and track the f32 model
+    ids = np.array([[3, 17, 42, 7]])
+    S = ids.shape[1]
+    mask = make_prefill_mask(jnp.array([S]), S)
+    pos = jnp.arange(S)[None]
+    dev = {k: (jax.tree_util.tree_map(jnp.asarray, v) if isinstance(v, dict)
+               else jnp.asarray(v)) for k, v in tree.items()}
+    h4, _ = decoder_forward(cfg, dev, embed_tokens(dev, jnp.asarray(ids)), mask, pos)
+    hf_, _ = decoder_forward(cfg, ref_full, embed_tokens(ref_full, jnp.asarray(ids)),
+                             mask, pos)
+    scale = np.abs(np.asarray(hf_)).max()
+    # loose: these are unit-variance random weights (real LLM weights are
+    # ~50x smaller), so 4-bit noise compounds; the STRONG check is the
+    # bit-exact layout equality above
+    d = np.abs(np.asarray(h4) - np.asarray(hf_)).max() / scale
+    assert np.isfinite(d) and d < 0.5, d
