@@ -114,15 +114,17 @@ def salmonn_step_flops(cfg, B: int, n_slots: int, L: int, new_tokens: int) -> fl
 # ---------------------------------------------------------------------------
 
 
-def build_batch(tok, cfg, B, k_shots, clip_seconds, seq_len, text_len, seed=0):
+def build_batch(tok, cfg, B, k_shots, clip_seconds, seq_len, text_len, seed=0,
+                fewshot_mode="speech"):
     from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
     from icl_speech_text_llm_tpu.data.packing import PackConfig
     from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
     from icl_speech_text_llm_tpu.registry import DatasetType, get_dataset_config
 
     task = get_dataset_config(DatasetType.VOXCELEB)
+    n_slots = k_shots + 1 if fewshot_mode == "speech" else 1
     pack_cfg = PackConfig(
-        seq_len=seq_len, text_len=text_len, max_slots=k_shots + 1,
+        seq_len=seq_len, text_len=text_len, max_slots=n_slots,
         audio_tokens_per_slot=cfg.audio_tokens_per_slot,
     )
     rng = np.random.RandomState(seed)
@@ -135,7 +137,7 @@ def build_batch(tok, cfg, B, k_shots, clip_seconds, seq_len, text_len, seed=0):
         ]
         plan = build_default_prompt(
             task.prompt_template, f"utterance {i}", examples,
-            input_mode="speech_only", fewshot_mode="speech",
+            input_mode="speech_only", fewshot_mode=fewshot_mode,
         )
         slot_audio = {
             s: rng.randn(16000 * clip_seconds).astype(np.float32) * 0.05
@@ -301,6 +303,74 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     }
 
 
+def bench_qwen2_audio_7b(jax, tok):
+    """Second model family at real scale: Qwen2-Audio-7B shapes (whisper-large
+    tower + avg-pool + Qwen2-7B int8 decoder), 30 s clip, k=5 TEXT few-shot
+    (driver config 1's mode at 7B) → utt/s + MFU."""
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.inference.engine import GenerationConfig
+    from icl_speech_text_llm_tpu.models.llama import init_decoder_quantized, init_lora
+    from icl_speech_text_llm_tpu.models.qwen_audio import (
+        init_qwen_audio,
+        qwen2_audio_7b,
+        qwen2_audio_tiny,
+        qwen_audio_generate,
+    )
+
+    B = int(os.environ.get("BENCH_QWEN7B_BATCH", "4"))
+    NEW_TOKENS = 10
+    cfg = qwen2_audio_7b()
+
+    def to_bf16(tree):
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree)
+
+    # components initialized separately: a full f32 init of the 7.6B decoder
+    # would need >30 GB host RAM (mirrors bench_salmonn_7b)
+    import dataclasses
+
+    k = jax.random.PRNGKey(0)
+    ksmall, kl, klo = jax.random.split(k, 3)
+    small = init_qwen_audio(ksmall, dataclasses.replace(cfg, llm=qwen2_audio_tiny().llm))
+    params = {
+        "encoder": to_bf16(small["encoder"]),
+        "projector": {
+            "w": jnp.zeros((cfg.encoder.dim, cfg.llm.dim), jnp.bfloat16),
+            "b": jnp.zeros((cfg.llm.dim,), jnp.bfloat16),
+        },
+        "llm": init_decoder_quantized(kl, cfg.llm),
+        "lora": to_bf16(init_lora(klo, cfg.llm, cfg.lora)),
+    }
+    seq_len, text_len = 1024, 256
+    dev = build_batch(tok, cfg, B, K_SHOTS, 30, seq_len, text_len,
+                      fewshot_mode="text")
+    dev = {k2: v for k2, v in dev.items()}
+    gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    fn = jax.jit(lambda p, b: qwen_audio_generate(cfg, gen, p, b))
+    p50, per_call = _timed(fn, params, dev, rounds=3, pipeline=5)
+
+    n_clips = B  # one 30 s clip per sample (text few-shot)
+    flops = whisper_flops(cfg.encoder, n_clips)
+    flops += n_clips * 2 * cfg.audio_tokens_per_slot * cfg.encoder.dim * cfg.llm.dim
+    flops += decoder_flops(cfg.llm, B * seq_len, seq_len, B)
+    for t in range(NEW_TOKENS):
+        flops += decoder_flops(cfg.llm, B, seq_len + t, B)
+    peak = _chip_peak_flops(jax.devices()[0])
+    return {
+        "utt_s": round(B / per_call, 3),
+        "p50_batch_latency_s": round(p50, 4),
+        "mfu": round(flops / per_call / peak, 4),
+        "flops_per_batch_tf": round(flops / 1e12, 2),
+        "batch": B,
+        "clip_seconds": 30,
+        "note": "Qwen2-Audio-7B shapes (whisper-large tower + Qwen2-7B int8), k=5 text few-shot",
+    }
+
+
 def main():
     import jax
 
@@ -342,6 +412,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"salmonn-13b bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             result["salmonn13b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    if os.environ.get("BENCH_QWEN7B"):  # second family at real scale, opt-in
+        try:
+            result["qwen2audio7b"] = bench_qwen2_audio_7b(jax, tok)
+        except Exception as e:  # noqa: BLE001
+            print(f"qwen2-audio-7b bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            result["qwen2audio7b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps(result))
 

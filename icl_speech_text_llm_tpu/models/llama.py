@@ -138,14 +138,20 @@ def init_decoder_quantized(key, cfg: DecoderConfig, dtype=jnp.bfloat16,
     q_out, kv_out = cfg.n_heads * hd, cfg.n_kv_heads * hd
 
     def qtensor(k, d_in, d_out):
+        # generate LAYER BY LAYER: randint's 4-byte random-bits intermediate
+        # for a whole stacked tensor is 4x the output (7.6 GB transient for
+        # one Qwen2-7B mlp stack — measured OOM); per-layer it is ~d_in*d_out*4
+        ks = jax.random.split(k, cfg.n_layers)
         if bits == 4:
-            packed = jax.random.randint(
-                k, (cfg.n_layers, d_in // 2, d_out), 0, 256, jnp.int32
-            ).astype(jnp.uint8)
+            packed = jnp.stack([
+                jax.random.randint(ki, (d_in // 2, d_out), 0, 256, jnp.int32
+                                   ).astype(jnp.uint8) for ki in ks])
             s = jnp.full((cfg.n_layers, d_in // group, d_out),
                          (d_in**-0.5) / 4.6, jnp.float32)  # nibble std ≈ 4.6
             return {"q4": packed, "s": s}
-        q = jax.random.randint(k, (cfg.n_layers, d_in, d_out), -127, 128, jnp.int8)
+        q = jnp.stack([
+            jax.random.randint(ki, (d_in, d_out), -127, 128, jnp.int8)
+            for ki in ks])
         s = jnp.full((cfg.n_layers, d_out), (d_in**-0.5) / 127.0, jnp.float32)
         return {"q": q, "s": s}
 
