@@ -105,6 +105,7 @@ def main(argv=None):
     scfg = ServingConfig(
         num_slots=args.num_slots, max_new_tokens=args.max_new_tokens,
         prompt_buckets=buckets, sync_every=args.sync_every,
+        admit_batch=args.admit_batch,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
     )
     llm_params = model.params["llm"]

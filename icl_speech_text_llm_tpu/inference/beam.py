@@ -63,10 +63,18 @@ def beam_decode_from_sequence(
     lora: Optional[Dict[str, Any]] = None,
     lora_scaling: float = 1.0,
     dt=jnp.float32,
-    rng=None,  # unused (beam search is deterministic); kept for API parity
+    rng=None,  # used only when gen.do_sample (stochastic beam search)
 ) -> jnp.ndarray:
     """Prefill once, then K-wide beam decode. Returns (B, max_new_tokens)
-    best-hypothesis tokens, EOS-filled after each hypothesis ends."""
+    best-hypothesis tokens, EOS-filled after each hypothesis ends.
+
+    ``gen.do_sample`` + ``num_beams > 1`` runs STOCHASTIC beam search
+    (the reference forwards both to HF generate → beam-sample,
+    ref models/custom_salmon.py:704-720): candidate ranking is
+    gumbel-perturbed over the temperature-warped joint scores (Gumbel
+    top-2K = sampling without replacement from the candidate softmax —
+    HF's multinomial draw differs in RNG detail, same semantics), while
+    cumulative bookkeeping keeps the TRUE log-probs like HF does."""
     from ..ops.flash_attention import flash_attention_usable
 
     B, L, _ = seq.shape
@@ -75,6 +83,10 @@ def beam_decode_from_sequence(
     lp = gen.length_penalty
     cache_len = L + Tmax
     V = llm_cfg.vocab_size
+    sample = bool(gen.do_sample) and gen.temperature > 0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    temp = gen.temperature if sample else 1.0
 
     # ---- prefill on B rows (beams share the prompt) ----
     cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt)
@@ -106,11 +118,19 @@ def beam_decode_from_sequence(
     hyp_lens = jnp.zeros((B, K), jnp.int32)
     batch_done = jnp.zeros((B,), bool)
 
-    def select(state, scores_bkv, t):
-        """One HF BeamSearchScorer.process step. t = generated count so far."""
+    def select(state, scores_bkv, t, step_rng=None):
+        """One HF BeamSearchScorer.process step. t = generated count so far.
+
+        ``step_rng`` (sampling only): rank candidates by gumbel-perturbed
+        temperature-warped scores; accumulate the TRUE scores."""
         run_scores, run_toks, hyp_scores, hyp_toks, hyp_lens, batch_done = state
         flat = scores_bkv.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        if step_rng is not None:
+            g = jax.random.gumbel(step_rng, flat.shape, jnp.float32)
+            _, top_idx = jax.lax.top_k(flat / temp + g, 2 * K)
+            top_scores = jnp.take_along_axis(flat, top_idx, axis=1)
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
         tok2k = (top_idx % V).astype(jnp.int32)
         beam2k = top_idx // V
         is_eos = tok2k == gen.eos_token_id
@@ -166,12 +186,14 @@ def beam_decode_from_sequence(
     state = (run_scores, run_toks, hyp_scores, hyp_toks, hyp_lens, batch_done)
     logprobs0 = jax.nn.log_softmax(first_logits, axis=-1)[:, None].repeat(K, 1)
     scores0 = processors(logprobs0, run_toks, 0) + run_scores[..., None]
-    state, tok, _ = select(state, scores0, 0)
+    rng, rng0 = jax.random.split(rng)
+    state, tok, _ = select(state, scores0, 0, step_rng=rng0 if sample else None)
     # (no cache reorder at t=0: all beam rows are identical copies)
 
     cur_len = jnp.repeat(lengths, K)  # (B*K,) append position for next write
 
-    def step(carry, t):
+    def step(carry, t_and_rng):
+        t, step_rng = t_and_rng
         state, tok, cur_len, cache = carry
         run_scores = state[0]
         emb = embed_tokens(llm_params, tok.reshape(B * K, 1), dtype=dt)
@@ -183,7 +205,8 @@ def beam_decode_from_sequence(
         logits = lm_logits(llm_cfg, llm_params, hidden)[:, 0].astype(jnp.float32)
         logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         scores = processors(logprobs, state[1], t) + run_scores[..., None]
-        new_state, new_tok, src_beam = select(state, scores, t)
+        new_state, new_tok, src_beam = select(
+            state, scores, t, step_rng=step_rng if sample else None)
 
         # physically reorder the cache rows to follow the selected beams
         flat_src = (src_beam + jnp.arange(B)[:, None] * K).reshape(B * K)
@@ -195,8 +218,10 @@ def beam_decode_from_sequence(
         return (new_state, new_tok, cur_len + 1, cache), None
 
     if Tmax > 1:
+        step_rngs = jax.random.split(rng, Tmax - 1)
         (state, tok, cur_len, cache), _ = jax.lax.scan(
-            step, (state, tok, cur_len, cache), jnp.arange(1, Tmax))
+            step, (state, tok, cur_len, cache),
+            (jnp.arange(1, Tmax), step_rngs))
 
     run_scores, run_toks, hyp_scores, hyp_toks, hyp_lens, batch_done = state
 

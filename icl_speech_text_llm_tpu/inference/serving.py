@@ -304,6 +304,14 @@ class ContinuousBatchingEngine:
                         if self._slots[i].active:
                             self._record(i, int(row[i]))
                 r += n_inner
+        # reclaim lanes whose occupant the replay discovered finished EARLY
+        # (EOS before the budget): mark their schedule spent so _admit can
+        # reuse them — this is what makes the cap-triggered flush bound the
+        # wasted lanes in long-max_new configs, not just the log memory
+        mx = self.cfg.max_new_tokens
+        for i, slot in enumerate(self._slots):
+            if not slot.active and self._sched[i] is not None:
+                self._sched[i] = max(self._sched[i], mx)
 
     # -- scheduler internals ------------------------------------------------
     def _admit(self) -> None:

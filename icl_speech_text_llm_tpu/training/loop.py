@@ -98,17 +98,28 @@ def validate(
             samples.append(samples[-1])
         batch = collate_icl_batch(samples, engine.tokenizer, pack_cfg)
         preds = engine.generate(batch, batch.audio)[:real]
-        for s, p in zip(samples[:real], preds):
+        for s, p, gi in zip(samples[:real], preds, order[start:start + bs]):
             results.append(
                 {
                     "text": s.extras.get("text", ""),
                     "true_label": s.completion,
                     "predicted_label": p,
                     "dataset_type": s.extras.get("dataset_type", ""),
+                    # global dataset index: shard_indices pads by wrapping, so
+                    # a sample can be evaluated on TWO hosts — dedupe below
+                    "_index": int(gi),
                 }
             )
     if settings.shard_data:
         results = gather_predictions(results)
+    seen, deduped = set(), []
+    for r in results:
+        gi = r.pop("_index", None)
+        if gi is None or gi not in seen:
+            if gi is not None:
+                seen.add(gi)
+            deduped.append(r)
+    results = deduped
     metrics = {}
     for dt in dataset_types:
         subset = [r for r in results if r["dataset_type"] == dt.value]

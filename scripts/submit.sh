@@ -61,12 +61,17 @@ local)
             HELD="$PID_DIR/$HOLD_JID"
             echo "[submit] waiting on job $HOLD_JID" >> "$LOG"
             while [ -e "/proc/$HOLD_JID" ]; do sleep 5; done
-            if [ -f "$HELD.rc" ] && [ "$(cat "$HELD.rc")" != "0" ]; then
+            # afterok semantics: a MISSING .rc (job killed / died before
+            # writing it) must count as failure, not success
+            if [ ! -f "$HELD.rc" ] || [ "$(cat "$HELD.rc")" != "0" ]; then
                 echo "[submit] held job $HOLD_JID failed; aborting" >> "$LOG"
                 exit 1
             fi
         fi
-        "$RUNNER" "$@"; rc=$?
+        # `|| rc=$?` keeps the subshell alive under set -e so the .rc file
+        # is ALWAYS written (a bare failing command would abort before it)
+        rc=0
+        "$RUNNER" "$@" || rc=$?
         echo "$rc" > "$PID_DIR/$BASHPID.rc"
         exit "$rc"
     ) >> "$LOG" 2>&1 &

@@ -145,3 +145,32 @@ def test_beam_min_new_tokens_matches_hf(tiny_llama):
         max_new_tokens=MAX_NEW, eos_token_id=EOS, num_beams=2,
         min_new_tokens=6))
     _assert_match(ref, mine)
+
+
+def test_beam_sample_stochastic_properties(tiny_llama):
+    """num_beams>1 + do_sample (the reference forwards both to HF beam-sample,
+    custom_salmon.py:704-720): deterministic per rng, varies across rngs, and
+    collapses to plain beam search as temperature → 0."""
+    _, cfg, params = tiny_llama
+    seq = embed_tokens(params, jnp.asarray(PROMPTS))
+    lengths = jnp.full((PROMPTS.shape[0],), PROMPTS.shape[1], jnp.int32)
+
+    gen_hot = GenerationConfig(max_new_tokens=MAX_NEW, eos_token_id=EOS,
+                               num_beams=2, do_sample=True, temperature=5.0)
+    a = np.asarray(beam_decode_from_sequence(cfg, params, seq, lengths, gen_hot,
+                                             rng=jax.random.PRNGKey(0)))
+    b = np.asarray(beam_decode_from_sequence(cfg, params, seq, lengths, gen_hot,
+                                             rng=jax.random.PRNGKey(0)))
+    c = np.asarray(beam_decode_from_sequence(cfg, params, seq, lengths, gen_hot,
+                                             rng=jax.random.PRNGKey(9)))
+    np.testing.assert_array_equal(a, b)  # same rng → same draw
+    assert not np.array_equal(a, c)      # different rng → (a.s.) different
+
+    gen_cold = GenerationConfig(max_new_tokens=MAX_NEW, eos_token_id=EOS,
+                                num_beams=2, do_sample=True, temperature=1e-4)
+    gen_det = GenerationConfig(max_new_tokens=MAX_NEW, eos_token_id=EOS,
+                               num_beams=2)
+    cold = np.asarray(beam_decode_from_sequence(cfg, params, seq, lengths,
+                                                gen_cold, rng=jax.random.PRNGKey(3)))
+    det = np.asarray(beam_decode_from_sequence(cfg, params, seq, lengths, gen_det))
+    np.testing.assert_array_equal(cold, det)  # T→0 recovers beam search

@@ -136,3 +136,29 @@ def test_per_request_sampling_isolation(llm):
     assert greedy_c == oracle            # ...at any engine seed
     assert hot_a == hot_b                # same seed -> same sample
     assert hot_a != hot_c or hot_b != hot_c  # different seed -> (almost surely) differs
+
+
+def test_cap_flush_reclaims_early_eos_lanes(llm):
+    """With a long token budget and early EOS, the cap-triggered flush must
+    free the lane for the next request (round-2 review finding: _flush did
+    not update the schedule, so early-EOS lanes stayed blocked)."""
+    cfg, params = llm
+    emb, length = _requests(cfg, 1, seed=2)[0]
+    free_run = _oracle(cfg, params, emb, length)
+    assert len(free_run) >= 2
+    eos = free_run[1]  # EOS fires at step 2 of a 64-token budget
+
+    scfg = ServingConfig(num_slots=1, max_new_tokens=64, prompt_buckets=(16, 32),
+                         eos_token_id=eos, sync_every=4, max_pending_blocks=2)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    r1 = eng.submit(emb, length)
+    r2 = eng.submit(emb, length)
+    steps = 0
+    while len(eng._results) < 2 and steps < 200:
+        eng.step()
+        steps += 1
+    eng._flush()
+    assert set(eng._results) == {r1, r2}
+    # without reclamation: ~2 * ceil(63/4) = 32 steps; with it, the second
+    # request admits right after the first cap flush (~2 blocks in)
+    assert steps <= 12, steps
