@@ -209,7 +209,7 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     import jax.numpy as jnp
 
     from icl_speech_text_llm_tpu.inference.engine import GenerationConfig, salmonn_generate
-    from icl_speech_text_llm_tpu.models.llama import embed_tokens, init_decoder_quantized, init_lora, lm_logits
+    from icl_speech_text_llm_tpu.models.llama import init_decoder_quantized, init_lora, lm_logits
     from icl_speech_text_llm_tpu.models.qformer import init_qformer
     from icl_speech_text_llm_tpu.models.salmonn import (
         assemble_sequence,

@@ -276,6 +276,7 @@ def _layer_forward(
     cache_kv,  # None or (k, v): (B, Hkv, T_cache, hd)
     cache_positions,  # None or (B,) write index per sample
     flash_lengths=None,  # (B,) → use the Pallas flash kernel for this prefill
+    ring=None,  # (Mesh, axis name) → context-parallel ring attention (sp)
 ):
     B, T, _ = x.shape
     hd = cfg.hd
@@ -314,7 +315,20 @@ def _layer_forward(
     else:
         k_att, v_att = k, v
 
-    if flash_lengths is not None and cache_positions is None:
+    if ring is not None and cache_kv is None:
+        # context-parallel (sp): KV sequence shards rotate over the mesh axis
+        # (parallel/ring_attention.py) — prompts past one chip's HBM
+        from ..parallel.ring_attention import ring_attention
+
+        mesh, axis = ring
+        n_rep = cfg.n_heads // cfg.n_kv_heads
+        out = ring_attention(
+            q,
+            repeat_kv(k.astype(q.dtype), n_rep),
+            repeat_kv(v.astype(q.dtype), n_rep),
+            mesh, axis_name=axis, lengths=flash_lengths, causal=True,
+        )
+    elif flash_lengths is not None and cache_positions is None:
         # Pallas flash attention over the CURRENT k/v (identical to attending
         # the cache: positions beyond T are masked anyway).
         from ..ops.flash_attention import flash_attention
@@ -359,6 +373,7 @@ def run_layer_stack(
     lora_scaling: float = 1.0,
     remat: bool = False,
     flash_lengths: Optional[jnp.ndarray] = None,
+    ring=None,  # (Mesh, axis) → ring attention; flash_lengths doubles as lengths
 ) -> jnp.ndarray:
     """Scan a contiguous sub-stack of decoder layers (no KV cache).
 
@@ -378,7 +393,7 @@ def run_layer_stack(
         layer, lo = sc
         x, _ = layer_fn(
             cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
-            positions, inv_freq, None, None, flash_lengths,
+            positions, inv_freq, None, None, flash_lengths, ring,
         )
         return x, None
 
@@ -398,11 +413,15 @@ def decoder_forward(
     lora_scaling: float = 1.0,
     remat: bool = False,
     flash_lengths: Optional[jnp.ndarray] = None,
+    ring=None,  # (Mesh, axis) → context-parallel ring attention (no-cache only)
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack. Returns (hidden_states, updated_cache).
 
     ``flash_lengths`` switches prefill attention to the Pallas flash kernel
-    (requires head_dim ≥ 128 and seq multiple of 128; inference path only)."""
+    (requires head_dim ≥ 128 and seq multiple of 128; inference path only).
+    ``ring=(mesh, axis)`` runs attention context-parallel over the mesh axis
+    (parallel/ring_attention.py; cacheless forward only) — ``flash_lengths``
+    then supplies the per-sample valid lengths."""
     inv_freq = jnp.asarray(rope_frequencies(cfg.hd, cfg.rope_theta))
     x = inputs_embeds
     use_lora = lora is not None
@@ -425,7 +444,7 @@ def decoder_forward(
         x, new_kv = layer_fn(
             cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
             positions, inv_freq, ckv if use_cache else None, cache_positions,
-            flash_lengths,
+            flash_lengths, ring if not use_cache else None,
         )
         return x, (new_kv if use_cache else jnp.zeros(()))
 

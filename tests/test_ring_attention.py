@@ -38,3 +38,34 @@ def test_ring_matches_oracle_full(mesh):
     ref = dot_product_attention(q, k, v, key_mask)
     out = ring_attention(q, k, v, mesh, axis_name="tp", causal=False)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_decoder_forward_with_ring_matches_plain():
+    """decoder_forward(ring=(mesh, axis)) — the sp wiring — must equal the
+    plain forward on ragged-length causal prompts."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        init_decoder,
+    )
+    from icl_speech_text_llm_tpu.ops.attention import make_prefill_mask
+
+    cfg = dataclasses.replace(DECODER_CONFIGS["tiny"], n_layers=2)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=1, fsdp=1, tp=8)
+    B, T = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.dim)) * 0.1
+    lengths = jnp.array([T, T - 5])
+    mask = make_prefill_mask(lengths, T)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    ref, _ = decoder_forward(cfg, params, x, mask, pos)
+    out, _ = decoder_forward(cfg, params, x, mask, pos,
+                             flash_lengths=lengths, ring=(mesh, "tp"))
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    # positions beyond a sample's length see different masking tails; compare
+    # the valid region
+    assert d[0].max() < 1e-5
+    assert d[1, : T - 5].max() < 1e-5
