@@ -240,7 +240,8 @@ def _gated_bias(cfg: BeatsConfig, a, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.n
     return scale[..., None] * bias[None]  # (B,H,T,T)
 
 
-def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray], lengths=None):
+def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray],
+                   lengths=None, bias_flash=False):
     B, T, d = x.shape
     hd = cfg.head_dim
     a = layer["attn"]
@@ -248,7 +249,19 @@ def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray], leng
     q = (x @ a["wq"].astype(dt) + a["bq"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     k = (x @ a["wk"].astype(dt) + a["bk"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     v = (x @ a["wv"].astype(dt) + a["bv"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
-    if bias is not None:
+    if bias is not None and bias_flash and lengths is not None:
+        # gated-bias flash: the (B, H, T, T) logits/bias never materialize;
+        # the gate computes in-kernel from the raw layer input (forward-only
+        # — the audio encoders are frozen in SALMONN training)
+        from ..ops.flash_attention import flash_attention_gated_bias
+
+        xh = x.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+        out = flash_attention_gated_bias(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), xh, bias,
+            a["grep_w"], a["grep_b"], a["grep_a"], lengths,
+        ).transpose(0, 2, 1, 3).reshape(B, T, d)
+    elif bias is not None:
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (hd**-0.5)
@@ -303,12 +316,23 @@ def beats_encode_fbank(
 
     n_tokens = x.shape[1]
     bias = None
+    bias_flash = False
     if cfg.gated_rel_pos:
         buckets = relative_position_buckets(
             n_tokens, cfg.rel_pos_buckets, cfg.rel_pos_max_distance
         )
         bias = params["rel_bias"].astype(jnp.float32)[buckets]  # (T,T,H)
         bias = bias.transpose(2, 0, 1)  # (H,T,T)
+        if cfg.use_flash and lengths is None:
+            from ..ops.flash_attention import flash_attention_usable
+
+            pad_to = -(-n_tokens // 128) * 128
+            if flash_attention_usable(pad_to, cfg.head_dim):
+                pad = pad_to - n_tokens
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+                lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
+                bias_flash = True
     elif cfg.use_flash and lengths is None:
         from ..ops.flash_attention import flash_attention_usable
 
@@ -318,7 +342,7 @@ def beats_encode_fbank(
             lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
 
     def body(x, layer):
-        return _layer_forward(cfg, layer, x, bias, lengths), None
+        return _layer_forward(cfg, layer, x, bias, lengths, bias_flash), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x[:, :n_tokens]

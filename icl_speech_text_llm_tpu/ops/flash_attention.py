@@ -497,3 +497,145 @@ def flash_attention_usable(seq_len: int, head_dim: int, block: int = 128) -> boo
     if jax.default_backend() != "tpu":
         return False
     return head_dim % 64 == 0 and head_dim >= 64 and seq_len % block == 0
+
+
+# ---------------------------------------------------------------------------
+# Gated-bias flash forward (BEATs/WavLM attention). Forward-only: SALMONN
+# freezes the audio encoders (training/step.DEFAULT_TRAINABLE_KEYS), so no
+# VJP is needed — gradients never traverse BEATs attention.
+# ---------------------------------------------------------------------------
+
+
+def _flash_bias_kernel(
+    lengths_ref,  # scalar prefetch: (B,) int32 valid KV length
+    grep_a_ref,  # scalar prefetch: (H,) f32 per-head gate multiplier
+    q_ref,  # (1, 1, block_q, D)
+    k_ref,  # (1, 1, block_k, D)
+    v_ref,  # (1, 1, block_k, D)
+    xh_ref,  # (1, 1, block_q, D) raw layer input split per head (gate input)
+    bias_ref,  # (1, block_q, block_k) f32 shared rel-pos bias for this head
+    gw_ref,  # (D, 8) f32 grep_linear weight
+    gb_ref,  # (1, 8) f32 grep_linear bias
+    o_ref,  # (1, 1, block_q, D)
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+):
+    """Non-causal flash attention with the WavLM gated relative position
+    bias computed IN-KERNEL: scale = sigmoid(Σ₄ proj[:4]) · (sigmoid(Σ₄
+    proj[4:]) · grep_a[h] − 1) + 2 per query row, s += scale · bias. The
+    (B, H, T, T) logits/bias tensors never exist in HBM (the XLA fallback
+    materializes both — measured 100 ms of the 278 ms BEATs forward at
+    salmonn-7b shapes)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    length = lengths_ref[b]
+    kv_start = kv_idx * block_k
+
+    @pl.when(kv_start < length)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        # per-row gate from the raw layer input (WavLM gru_rel_pos fast path)
+        xh = xh_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+        proj = jax.lax.dot(xh, gw_ref[...], preferred_element_type=jnp.float32)
+        proj = proj + gb_ref[...]
+        ga = jax.nn.sigmoid(jnp.sum(proj[:, :4], axis=1, keepdims=True))
+        gb = jax.nn.sigmoid(jnp.sum(proj[:, 4:8], axis=1, keepdims=True))
+        scale = ga * (gb * grep_a_ref[h] - 1.0) + 2.0  # (block_q, 1)
+        s = s + scale * bias_ref[0].astype(jnp.float32)
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+        s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+        v = v_ref[0, 0]
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention_gated_bias(
+    q: jnp.ndarray,  # (B, H, S, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    xh: jnp.ndarray,  # (B, H, S, D) raw layer input split per head
+    bias: jnp.ndarray,  # (H, S, S) f32 rel-pos bias (shared over batch)
+    grep_w: jnp.ndarray,  # (D, 8)
+    grep_b: jnp.ndarray,  # (8,)
+    grep_a: jnp.ndarray,  # (H,)
+    lengths: jnp.ndarray,  # (B,) valid KV lengths
+    sm_scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """BEATs/WavLM gated-rel-pos attention, flash-style (forward only)."""
+    B, H, S, D = q.shape
+    if sm_scale is None:
+        sm_scale = D**-0.5
+    bq = next(b for b in range(min(block_q, S), 0, -128) if S % b == 0)
+    bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
+    grid = (B, H, S // bq, S // bk)
+    kernel = functools.partial(
+        _flash_bias_kernel, sm_scale=sm_scale, block_q=bq, block_k=bk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, bk, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, bq, bk), lambda b, h, qi, ki, *_: (h, qi, ki)),
+                pl.BlockSpec((D, 8), lambda b, h, qi, ki, *_: (0, 0)),
+                pl.BlockSpec((1, 8), lambda b, h, qi, ki, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+                pltpu.VMEM((bq, MIN_LANES), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths.astype(jnp.int32), grep_a.astype(jnp.float32),
+      q, k, v, xh, bias.astype(jnp.bfloat16),  # halves the dominant HBM read
+      grep_w.astype(jnp.float32), grep_b.reshape(1, 8).astype(jnp.float32))

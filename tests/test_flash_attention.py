@@ -169,3 +169,66 @@ def test_pallas_backward_grad_matches_xla_multiblock():
         d = np.abs(np.asarray(a) - np.asarray(b))
         scale = np.abs(np.asarray(b)).max() + 1e-9
         assert d.max() / scale < 2e-4, (name, d.max(), scale)
+
+
+def test_gated_bias_flash_matches_materialized_oracle():
+    """flash_attention_gated_bias (BEATs attention) vs the explicit
+    (B,H,T,T) computation — gate math, bias add, length mask, softmax."""
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_attention_gated_bias
+
+    B, H, S, D = 2, 2, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    q = jax.random.normal(ks[0], (B, H, S, D)) * 0.3
+    k = jax.random.normal(ks[1], (B, H, S, D)) * 0.3
+    v = jax.random.normal(ks[2], (B, H, S, D)) * 0.3
+    xh = jax.random.normal(ks[3], (B, H, S, D)) * 0.3
+    bias = jax.random.normal(ks[4], (H, S, S)) * 0.5
+    grep_w = jax.random.normal(ks[5], (D, 8)) * 0.2
+    grep_b = jax.random.normal(ks[6], (8,)) * 0.1
+    grep_a = 1.0 + 0.1 * jax.random.normal(ks[7], (H,))
+    lengths = jnp.array([256, 131])
+
+    out = flash_attention_gated_bias(q, k, v, xh, bias, grep_w, grep_b,
+                                     grep_a, lengths, block_q=128, block_k=128)
+
+    # oracle: materialized gated-bias attention (models/beats.py fallback
+    # math); the kernel stores the bias table bf16, so the oracle quantizes
+    # it the same way to isolate kernel correctness at exact parity
+    bias = bias.astype(jnp.bfloat16).astype(jnp.float32)
+    proj = xh @ grep_w + grep_b  # (B,H,S,8)
+    ga = jax.nn.sigmoid(proj[..., :4].sum(-1))
+    gb = jax.nn.sigmoid(proj[..., 4:].sum(-1))
+    scale = ga * (gb * grep_a[None, :, None] - 1.0) + 2.0  # (B,H,S)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (D**-0.5)
+    logits = logits + scale[..., None] * bias[None]
+    valid = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None]
+    logits = jnp.where(valid, logits, -1e30)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+
+    d0 = np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max()
+    d1 = np.abs(np.asarray(out[1, :, :131]) - np.asarray(ref[1, :, :131])).max()
+    assert d0 < 3e-5 and d1 < 3e-5, (d0, d1)
+
+
+def test_beats_gated_rel_pos_flash_matches_fallback(monkeypatch):
+    """beats_encode with use_flash=True AND gated_rel_pos=True (the real
+    BEATs config) must match the materialized fallback end-to-end. The
+    usability gate is forced on (interpret mode runs the kernel on CPU)."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.beats import (
+        BeatsConfig,
+        beats_encode,
+        init_beats,
+    )
+
+    cfg = BeatsConfig(dim=128, embed_dim=32, n_heads=2, n_layers=2, conv_pos=16,
+                      conv_pos_groups=4, gated_rel_pos=True,
+                      rel_pos_buckets=32, rel_pos_max_distance=16)
+    params = init_beats(jax.random.PRNGKey(0), cfg)
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, 16000 * 2)) * 0.05
+    ref = np.asarray(beats_encode(cfg, params, wav))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out = np.asarray(beats_encode(dataclasses.replace(cfg, use_flash=True), params, wav))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
