@@ -45,12 +45,13 @@ class BeatsConfig:
     conv_pos_groups: int = 16
     mlp_ratio: int = 4
     # Gated relative position bias (the real BEATs config: gru_rel_pos=True,
-    # num_buckets=320, max_distance=800). When on, attention carries a bias
-    # term so the plain XLA path is used (flash kernel has no bias input).
+    # num_buckets=320, max_distance=800). With use_flash, biased attention
+    # runs through ops/flash_attention.flash_attention_gated_bias.
     gated_rel_pos: bool = True
     rel_pos_buckets: int = 320
     rel_pos_max_distance: int = 800
-    use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash (bias-free configs only)
+    use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash
+    # (plain kernel when gated_rel_pos is off; flash_attention_gated_bias when on)
 
     @property
     def deep_norm_alpha(self) -> float:

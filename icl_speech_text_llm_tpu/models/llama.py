@@ -276,7 +276,8 @@ def _layer_forward(
     cache_kv,  # None or (k, v): (B, Hkv, T_cache, hd)
     cache_positions,  # None or (B,) write index per sample
     flash_lengths=None,  # (B,) → use the Pallas flash kernel for this prefill
-    ring=None,  # (Mesh, axis name) → context-parallel ring attention (sp)
+    ring=None,  # (Mesh, axis name) → KV-distributed ring attention
+    attn_override=None,  # callable(q, k, v) heads-first — replaces attention
 ):
     B, T, _ = x.shape
     hd = cfg.hd
@@ -315,7 +316,15 @@ def _layer_forward(
     else:
         k_att, v_att = k, v
 
-    if ring is not None and cache_kv is None:
+    if attn_override is not None and cache_kv is None:
+        # sequence-parallel path (parallel/sequence_parallel.py): the caller
+        # runs this layer INSIDE shard_map with activations sharded along T
+        # and supplies the collective attention (per-shard Q vs rotating KV)
+        n_rep = cfg.n_heads // cfg.n_kv_heads
+        out = attn_override(
+            q, repeat_kv(k.astype(q.dtype), n_rep), repeat_kv(v.astype(q.dtype), n_rep)
+        )
+    elif ring is not None and cache_kv is None:
         # context-parallel (sp): KV sequence shards rotate over the mesh axis
         # (parallel/ring_attention.py) — prompts past one chip's HBM
         from ..parallel.ring_attention import ring_attention
@@ -374,6 +383,7 @@ def run_layer_stack(
     remat: bool = False,
     flash_lengths: Optional[jnp.ndarray] = None,
     ring=None,  # (Mesh, axis) → ring attention; flash_lengths doubles as lengths
+    attn_override=None,  # callable(q, k, v) heads-first — replaces attention
 ) -> jnp.ndarray:
     """Scan a contiguous sub-stack of decoder layers (no KV cache).
 
@@ -385,15 +395,22 @@ def run_layer_stack(
     n_local = jax.tree_util.tree_leaves(layers)[0].shape[0]
     dummy = jnp.zeros((n_local, 1))
 
-    layer_fn = _layer_forward
+    # ring is bound by CLOSURE (a Mesh is not a traceable array, so it must
+    # not pass through jax.checkpoint as an argument — remat+ring crashed)
+    def _fwd(cfg, layer, lo, scaling, x, mask, positions, inv_freq, ckv,
+             cpos, fl):
+        return _layer_forward(cfg, layer, lo, scaling, x, mask, positions,
+                              inv_freq, ckv, cpos, fl, ring, attn_override)
+
+    layer_fn = _fwd
     if remat:
-        layer_fn = jax.checkpoint(_layer_forward, static_argnums=(0,))
+        layer_fn = jax.checkpoint(_fwd, static_argnums=(0,))
 
     def scan_body(x, sc):
         layer, lo = sc
         x, _ = layer_fn(
             cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
-            positions, inv_freq, None, None, flash_lengths, ring,
+            positions, inv_freq, None, None, flash_lengths,
         )
         return x, None
 
@@ -435,16 +452,24 @@ def decoder_forward(
         (cache["k"], cache["v"]) if use_cache else dummy,
     )
 
-    layer_fn = _layer_forward
+    ring_fwd = ring if not use_cache else None
+
+    def _fwd(cfg, layer, lo, scaling, x, mask, positions, inv_freq, ckv,
+             cpos, fl):
+        # ring bound by closure: a Mesh cannot traverse jax.checkpoint
+        return _layer_forward(cfg, layer, lo, scaling, x, mask, positions,
+                              inv_freq, ckv, cpos, fl, ring_fwd)
+
+    layer_fn = _fwd
     if remat:
-        layer_fn = jax.checkpoint(_layer_forward, static_argnums=(0,))
+        layer_fn = jax.checkpoint(_fwd, static_argnums=(0,))
 
     def scan_body(x, sc):
         layer, lo, ckv = sc
         x, new_kv = layer_fn(
             cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
             positions, inv_freq, ckv if use_cache else None, cache_positions,
-            flash_lengths, ring if not use_cache else None,
+            flash_lengths,
         )
         return x, (new_kv if use_cache else jnp.zeros(()))
 

@@ -38,6 +38,24 @@ MIN_LANES = 128
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+
+def _online_softmax_update(s, v, m_scratch, l_scratch, acc_scratch):
+    """One KV tile of the online softmax shared by the forward kernels:
+    fold scores ``s`` (block_q, block_k) and values ``v`` into the running
+    (m, l, acc) VMEM scratch (lanes of m/l replicated)."""
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+    m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])
+    m_scratch[...] = m_next
+    l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    # lanes of alpha are replicated; broadcast one lane over D
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+
 def _flash_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32 valid length per sample
     q_ref,  # (1, 1, block_q, D)
@@ -92,22 +110,7 @@ def _flash_kernel(
         if causal:
             mask = jnp.logical_and(mask, col_ids <= row_ids)
         s = s + jnp.where(mask, 0.0, MASK_VALUE)
-
-        m_prev = m_scratch[...]  # (block_q, MIN_LANES), lanes replicated
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-
-        v = v_ref[0, 0]  # (block_k, D)
-        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        # lanes of alpha are replicated; broadcast one lane over D
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+        _online_softmax_update(s, v_ref[0, 0], m_scratch, l_scratch, acc_scratch)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -566,19 +569,7 @@ def _flash_bias_kernel(
 
         col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
         s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
-
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-        v = v_ref[0, 0]
-        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+        _online_softmax_update(s, v_ref[0, 0], m_scratch, l_scratch, acc_scratch)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -605,6 +596,8 @@ def flash_attention_gated_bias(
     B, H, S, D = q.shape
     if sm_scale is None:
         sm_scale = D**-0.5
+    if S % 128:
+        raise ValueError(f"flash_attention_gated_bias needs S % 128 == 0, got {S}")
     bq = next(b for b in range(min(block_q, S), 0, -128) if S % b == 0)
     bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
     grid = (B, H, S // bq, S // bk)

@@ -3,7 +3,8 @@
 - mesh.py           — (dp, pp, fsdp, tp) device mesh construction
 - sharding.py       — path-pattern GSPMD sharding rules; param/batch placement
 - pipeline.py       — GPipe pipeline parallelism over the stacked decoder
-- ring_attention.py — context-parallel attention (ppermute KV rotation)
+- sequence_parallel.py — TRUE sp: activations sharded along T through the stack
+- ring_attention.py — ring attention collective (ppermute KV rotation)
 - multihost.py      — jax.distributed init, rank gating, cross-host gathers
 """
 
@@ -27,6 +28,7 @@ from .multihost import (
 )
 from .pipeline import pipeline_decoder_forward
 from .ring_attention import ring_attention
+from .sequence_parallel import sp_decoder_forward
 from .sharding import batch_shardings, param_shardings, shard_batch, shard_params, spec_for_path
 
 __all__ = [
@@ -35,7 +37,7 @@ __all__ = [
     "broadcast_from_main", "gather_predictions", "initialize_distributed",
     "is_main_process", "process_count", "sync_hosts",
     "pipeline_decoder_forward",
-    "ring_attention",
+    "ring_attention", "sp_decoder_forward",
     "batch_shardings", "param_shardings", "shard_batch", "shard_params",
     "spec_for_path",
 ]

@@ -69,3 +69,30 @@ def test_decoder_forward_with_ring_matches_plain():
     # the valid region
     assert d[0].max() < 1e-5
     assert d[1, : T - 5].max() < 1e-5
+
+
+def test_decoder_ring_with_remat():
+    """remat=True + ring must work (Mesh is closure-bound, not traced through
+    jax.checkpoint — round-2 review finding: it crashed at trace time)."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        init_decoder,
+    )
+    from icl_speech_text_llm_tpu.ops.attention import make_prefill_mask
+
+    cfg = dataclasses.replace(DECODER_CONFIGS["tiny"], n_layers=2)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=1, fsdp=1, tp=8)
+    B, T = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.dim)) * 0.1
+    lengths = jnp.full((B,), T, jnp.int32)
+    mask = make_prefill_mask(lengths, T)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+    ref, _ = decoder_forward(cfg, params, x, mask, pos)
+    out, _ = decoder_forward(cfg, params, x, mask, pos, remat=True,
+                             flash_lengths=lengths, ring=(mesh, "tp"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
