@@ -200,6 +200,7 @@ def salmonn_train_loss(
     lora_params: Optional[Dict[str, Any]] = None,
     remat: bool = False,
     pipeline=None,  # (Mesh with a "pp" axis, n_micro) → GPipe the decoder
+    sp=None,  # (Mesh, axis) → sequence-parallel decoder (activations sharded on T)
 ) -> jnp.ndarray:
     """Training forward: packed batch → mean CE over completion tokens.
 
@@ -210,6 +211,9 @@ def salmonn_train_loss(
     ``pipeline=(mesh, n_micro)`` runs the decoder stack as a GPipe pipeline
     over the mesh's "pp" axis (parallel/pipeline.py) — encoders/Q-Former stay
     data-parallel (they are a small fraction of 13B-class parameters).
+    ``sp=(mesh, axis)`` instead shards the decoder ACTIVATIONS along the
+    sequence axis (parallel/sequence_parallel.py) — the long-context path
+    when one chip cannot hold the packed ICL prompt's activations.
     """
     B = batch["text_tokens"].shape[0]
     wavs = wavs_to_float(batch["wavs"])
@@ -238,6 +242,14 @@ def salmonn_train_loss(
         pp_mesh, n_micro = pipeline
         hidden = pipeline_decoder_forward(
             pp_mesh, cfg.llm, params["llm"], seq, mask, positions, n_micro,
+            lora=lora, lora_scaling=scaling, remat=remat,
+        )
+    elif sp is not None:
+        from ..parallel.sequence_parallel import sp_decoder_forward
+
+        sp_mesh, sp_axis = sp
+        hidden = sp_decoder_forward(
+            sp_mesh, sp_axis, cfg.llm, params["llm"], seq, positions, lengths,
             lora=lora, lora_scaling=scaling, remat=remat,
         )
     else:

@@ -105,13 +105,18 @@ def make_train_step(
     loss_fn: Callable = salmonn_train_loss,
     remat: bool = False,
     pipeline=None,  # (Mesh with a "pp" axis, n_micro) → GPipe the decoder
+    sp=None,  # (Mesh, axis) → sequence-parallel decoder
 ) -> Callable:
     """Build the jitted train step: (state, frozen, batch) → (state, metrics)."""
 
     def step(state: TrainState, frozen: Dict[str, Any], batch: Dict[str, jnp.ndarray]):
         def compute_loss(trainable):
             params = merge_params(frozen, trainable)
-            kw = {"pipeline": pipeline} if pipeline is not None else {}
+            kw = {}
+            if pipeline is not None:
+                kw["pipeline"] = pipeline
+            if sp is not None:
+                kw["sp"] = sp
             return loss_fn(cfg, params, batch, remat=remat, **kw)
 
         loss, grads = jax.value_and_grad(compute_loss)(state.trainable)
