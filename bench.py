@@ -202,8 +202,9 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     weights), 30 s clips, k=5 speech exemplars → utt/s, MFU, decode tokens/s.
 
     ``scale="13b"`` benches the reference's SHIPPED flagship shape
-    (ref models/custom_salmon.py:29-51) — int8 makes the 13 GB decoder fit
-    one v5e; batch via BENCH_13B_BATCH (the HBM budget caps it below 7B's)."""
+    (ref models/custom_salmon.py:29-51) — int4 (+ the Pallas packed-tile
+    decode kernel) makes the decoder fit one v5e; int8 OOMs even at batch 1
+    with the bf16 encoders + MHA KV cache. Batch via BENCH_13B_BATCH."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -274,10 +275,15 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
 
         lengths = b["seq_lengths"]
         L = seq.shape[1]
+        from icl_speech_text_llm_tpu.ops.flash_attention import flash_attention_usable
+
         hidden, _ = decoder_forward(
             cfg.llm, p["llm"], seq, make_prefill_mask(lengths, L),
             jnp.broadcast_to(jnp.arange(L), (B, L)),
             lora=p.get("lora"), lora_scaling=cfg.lora.scaling,
+            # same attention path as the timed full run (engine prefill uses
+            # flash here), so per_full - per_pre isolates decode faithfully
+            flash_lengths=lengths if flash_attention_usable(L, cfg.llm.hd) else None,
         )
         last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
         return jnp.argmax(lm_logits(cfg.llm, p["llm"], last)[:, 0], -1)
@@ -347,7 +353,6 @@ def bench_qwen2_audio_7b(jax, tok):
     seq_len, text_len = 1024, 256
     dev = build_batch(tok, cfg, B, K_SHOTS, 30, seq_len, text_len,
                       fewshot_mode="text")
-    dev = {k2: v for k2, v in dev.items()}
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
                            pad_token_id=tok.pad_token_id)
     fn = jax.jit(lambda p, b: qwen_audio_generate(cfg, gen, p, b))

@@ -135,7 +135,11 @@ class QwenAudioModel(BaseModel):
             eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id
         )
         self._loss_fn = jax.jit(_partial(qwen_audio_train_loss, cfg))
-        self._gen_fn = jax.jit(_partial(qwen_audio_generate, cfg, self.gen))
+        # compile cache keyed by the CURRENT gen config: MultiTaskModel sets
+        # engine.gen per task, so a partial() baked at init would silently
+        # drop per-task generation params (max_new_tokens, penalties, beams)
+        self._gen_cache = {}
+        self._qwen_generate = qwen_audio_generate
         # engine-protocol compatibility (inference runner calls model.engine.generate)
         self.engine = self
 
@@ -163,7 +167,7 @@ class QwenAudioModel(BaseModel):
             "seq_lengths": jnp.asarray(packed.seq_lengths),
             **{k: jnp.asarray(v) for k, v in audio.items()},
         }
-        toks = np.asarray(self._gen_fn(self.params, dev))
+        toks = np.asarray(self._gen_fn()(self.params, dev))
         return self._decode_rows(toks)
 
     def _decode_rows(self, toks):
@@ -178,8 +182,16 @@ class QwenAudioModel(BaseModel):
         return out
 
     def generate_output(self, samples):
-        toks = np.asarray(self._gen_fn(self.params, self._dev(samples, False)))
+        toks = np.asarray(self._gen_fn()(self.params, self._dev(samples, False)))
         return self._decode_rows(toks)
+
+    def _gen_fn(self):
+        from functools import partial as _partial
+
+        if self.gen not in self._gen_cache:
+            self._gen_cache[self.gen] = jax.jit(
+                _partial(self._qwen_generate, self.cfg, self.gen))
+        return self._gen_cache[self.gen]
 
     def get_speech_embeddings(self, wavs):
         from ..ops.mel import log_mel_spectrogram
@@ -214,7 +226,10 @@ def create_model(
         if llm_params_dir:
             from .stream_convert import load_params_dir
 
-            params["llm"] = load_params_dir(llm_params_dir)
+            # device_put ONCE: leaving the tree as numpy memmaps would
+            # re-upload every weight on EVERY jitted call (jax only caches
+            # committed device arrays, not host numpy)
+            params["llm"] = jax.device_put(load_params_dir(llm_params_dir))
             logger.info(f"Loaded converted LLM weights from {llm_params_dir}")
         return params
     if key in QWEN_PRESETS:

@@ -169,15 +169,21 @@ def qwen_audio_train_loss(
 
 
 def qwen_audio_generate(cfg: QwenAudioConfig, gen, params, batch, rng=None):
-    """Greedy/sampled generation (ref: models/custom_qwen.py:199-247 slices
-    continuation tokens — here decode starts at each sample's length)."""
+    """Greedy/sampled/beam generation (ref: models/custom_qwen.py:199-247
+    slices continuation tokens — here decode starts at each sample's
+    length; num_beams routes to the same beam decoder as SALMONN)."""
     from ..inference.engine import decode_from_sequence
 
     audio = _encode_batch_audio(cfg, params, batch)
     seq = _assemble(cfg, params, batch["text_tokens"], audio, batch["gather_idx"])
     lora = params.get("lora")
     scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
-    return decode_from_sequence(
+    decode = decode_from_sequence
+    if gen.num_beams > 1:
+        from ..inference.beam import beam_decode_from_sequence
+
+        decode = beam_decode_from_sequence
+    return decode(
         cfg.llm, params["llm"], seq, batch["seq_lengths"], gen,
         lora=lora, lora_scaling=scaling, dt=cfg.compute_dtype, rng=rng,
     )

@@ -91,3 +91,75 @@ def test_factory_routes_qwen():
 
     with pytest.raises(ValueError):
         create_model("not-a-model")
+
+
+def _make_samples(model, n):
+    rng = np.random.RandomState(0)
+    out = []
+    for i in range(n):
+        plan = build_qwen_prompt("Classify the sentiment.", "", [],
+                                 input_mode="speech_only", fewshot_mode="text")
+        out.append(ICLSample(
+            plan=plan, completion="positive",
+            slot_audio={("main", 0): rng.randn(16000).astype(np.float32) * 0.05},
+        ))
+    return out
+
+
+def test_qwen_model_respects_updated_gen_config():
+    """MultiTaskModel sets engine.gen per task; QwenAudioModel must honor the
+    CURRENT gen (round-2 review finding: a partial() baked at init silently
+    dropped per-task generation params)."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.factory import create_model
+
+    model = create_model("qwen2-audio-tiny", seed=0)
+    samples = _make_samples(model, 1)
+    model.gen = dataclasses.replace(model.gen, max_new_tokens=3)
+    out3 = model.generate_output(samples)
+    model.gen = dataclasses.replace(model.gen, max_new_tokens=6)
+    out6 = model.generate_output(samples)
+    # decoded strings may truncate at EOS, but the raw budgets must differ:
+    # re-run through the cached fns to check token-shape budgets directly
+    toks3 = model._gen_fn()(model.params, model._dev(samples, False))
+    model.gen = dataclasses.replace(model.gen, max_new_tokens=3)
+    toks3b = model._gen_fn()(model.params, model._dev(samples, False))
+    assert toks3.shape[1] == 6 and toks3b.shape[1] == 3
+    assert isinstance(out3, list) and isinstance(out6, list)
+
+
+def test_qwen_generate_routes_beams():
+    """num_beams>1 must run the beam decoder for the Qwen family too
+    (round-2 review finding: it silently fell back to greedy)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.inference.beam import beam_decode_from_sequence
+    from icl_speech_text_llm_tpu.inference.engine import GenerationConfig
+    from icl_speech_text_llm_tpu.models.factory import create_model
+    from icl_speech_text_llm_tpu.models.qwen_audio import (
+        _assemble,
+        _encode_batch_audio,
+        qwen_audio_generate,
+    )
+
+    model = create_model("qwen2-audio-tiny", seed=0)
+    samples = _make_samples(model, 2)
+    dev = model._dev(samples, False)
+    gen = GenerationConfig(max_new_tokens=4, num_beams=2,
+                           eos_token_id=model.gen.eos_token_id,
+                           pad_token_id=model.gen.pad_token_id)
+    out = np.asarray(qwen_audio_generate(model.cfg, gen, model.params, dev))
+
+    audio = _encode_batch_audio(model.cfg, model.params, dev)
+    seq = _assemble(model.cfg, model.params, dev["text_tokens"], audio,
+                    dev["gather_idx"])
+    ref = np.asarray(beam_decode_from_sequence(
+        model.cfg.llm, model.params["llm"], seq, dev["seq_lengths"], gen,
+        lora=model.params.get("lora"),
+        lora_scaling=model.cfg.lora.scaling,
+        dt=model.cfg.compute_dtype,
+    ))
+    np.testing.assert_array_equal(out, ref)
