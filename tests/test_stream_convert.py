@@ -225,3 +225,37 @@ def test_int4_streaming_matches_ops_quantizer(tmp_path):
     # bit-exact layout equality above
     d = np.abs(np.asarray(h4) - np.asarray(hf_)).max() / scale
     assert np.isfinite(d) and d < 0.5, d
+
+
+def test_int4_dir_loads_into_model_and_generates(tmp_path):
+    """Full deployment loop: HF checkpoint → streaming int4 conversion →
+    create_model(llm_params_dir=...) → generation (the int4 weights ride
+    the same decode path the serve CLI uses)."""
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.models.factory import create_model
+    from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS
+
+    cfg = DECODER_CONFIGS["tiny"]
+    sd = _hf_state_dict(cfg, seed=7)
+    src = tmp_path / "hf"
+    _write_sharded(sd, str(src))
+    dst = tmp_path / "int4dir"
+    stream_decoder_to_dir(TensorSource(str(src)), cfg, str(dst), quantize="int4")
+
+    model = create_model("salmonn-tiny", llm_params_dir=str(dst))
+    # tiny dims fall back to int8 {q,s}; real dims emit {q4,s} — either way
+    # the tree must be quantized dicts and device-resident
+    wq = model.params["llm"]["layers"]["attn"]["wq"]
+    assert isinstance(wq, dict) and ("q" in wq or "q4" in wq)
+
+    from icl_speech_text_llm_tpu.data.collate import ICLSample
+    from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+
+    rng = np.random.RandomState(0)
+    plan = build_default_prompt("Say positive.", "utt", [],
+                                input_mode="speech_only", fewshot_mode="text")
+    sample = ICLSample(plan=plan, completion="positive",
+                       slot_audio={("main", 0): rng.randn(16000).astype(np.float32) * 0.05})
+    out = model.generate_output([sample])
+    assert isinstance(out, list) and len(out) == 1 and isinstance(out[0], str)
