@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--scheduler", type=str, default="linear",
-                   choices=["linear", "cosine", "constant", "per_epoch_warmup_restart"])
+                   choices=["linear", "cosine", "cosine_with_restarts", "polynomial",
+                            "constant", "constant_with_warmup", "inverse_sqrt",
+                            "per_epoch_warmup_restart"])
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--save_every", type=int, default=1)
     p.add_argument("--output_dir", type=str, default="checkpoints")

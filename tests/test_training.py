@@ -44,6 +44,39 @@ def test_schedules():
     assert float(rst(20)) < float(rst(22))
 
 
+def test_schedules_match_hf():
+    """The reference forwards --scheduler into HF get_scheduler
+    (ref: train/train.py:377-385); every HF name must match HF's lr curve."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    base_lr, warmup, total = 1e-3, 10, 100
+    names = [
+        "linear",
+        "cosine",
+        "cosine_with_restarts",
+        "polynomial",
+        "constant",
+        "constant_with_warmup",
+        "inverse_sqrt",
+    ]
+    for name in names:
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+        kwargs = {}
+        if name != "constant":
+            kwargs["num_warmup_steps"] = warmup
+        if name in ("linear", "cosine", "cosine_with_restarts", "polynomial"):
+            kwargs["num_training_steps"] = total
+        hf = transformers.get_scheduler(name, opt, **kwargs)
+        ours = get_schedule(name, base_lr, warmup, total)
+        for step in range(120):
+            want = hf.get_last_lr()[0]
+            got = float(ours(step))
+            assert got == pytest.approx(want, rel=1e-5, abs=1e-10), (name, step, got, want)
+            opt.step()
+            hf.step()
+
+
 def _tiny_batch(cfg, tok, batch_size=2):
     pack_cfg = PackConfig(seq_len=512, text_len=320, max_slots=1,
                           audio_tokens_per_slot=cfg.audio_tokens_per_slot)
