@@ -101,6 +101,7 @@ def main(argv=None):
         seq_len=args.seq_len, text_len=args.text_len,
         max_slots=args.num_examples + 1 if args.fewshot_mode == "speech" else 1,
         audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,
+        audio_len_fn=getattr(model.cfg, "audio_len_fn", None),
     )
     scfg = ServingConfig(
         num_slots=args.num_slots, max_new_tokens=args.max_new_tokens,

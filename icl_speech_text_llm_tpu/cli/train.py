@@ -114,6 +114,7 @@ def main(argv=None):
     pack_cfg = PackConfig(
         seq_len=args.seq_len, text_len=args.text_len, max_slots=n_slots,
         audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,
+        audio_len_fn=getattr(model.cfg, "audio_len_fn", None),
     )
 
     common = dict(

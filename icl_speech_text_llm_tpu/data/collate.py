@@ -52,9 +52,18 @@ def collate_icl_batch(
     """
     packed_samples: List[PackedSample] = []
     for s in samples:
-        packed_samples.append(
-            tokenize_plan(tokenizer, s.plan, s.completion, extras=s.extras)
-        )
+        ps = tokenize_plan(tokenizer, s.plan, s.completion, extras=s.extras)
+        if pack_cfg.audio_len_fn is not None:
+            # variable audio positions per clip (Qwen2-Audio semantics):
+            # a missing clip pads as 30 s of silence (full budget), like the
+            # reference's zero-spectrogram padding
+            counts = []
+            for slot in s.plan.slots:
+                wav = s.slot_audio.get(slot)
+                n = N_SAMPLES if wav is None else min(len(wav), N_SAMPLES)
+                counts.append(int(pack_cfg.audio_len_fn(n)))
+            ps.slot_token_counts = counts
+        packed_samples.append(ps)
     if auto_grow:
         from .packing import required_config
 
@@ -88,5 +97,16 @@ def collate_icl_batch(
     # ship as int16: halves host->device transfer; device converts back
     # (source audio is 16-bit PCM anyway)
     batch.audio["wavs"] = np.clip(wavs * 32767.0, -32768, 32767).astype(np.int16)
+    if pack_cfg.audio_len_fn is not None:
+        # valid raw-sample count per slot for the on-device encoder mask
+        # (device recomputes frame counts with the same integer formula the
+        # packer used for splice counts, so gather and mask always agree)
+        lengths = np.full((B, n_slots), N_SAMPLES, np.int32)
+        for b, s in enumerate(samples):
+            for i, slot in enumerate(s.plan.slots):
+                wav = s.slot_audio.get(slot)
+                if wav is not None:
+                    lengths[b, i] = min(len(wav), N_SAMPLES)
+        batch.audio["audio_lengths"] = lengths
     batch.labels_shifted = shift_labels(batch.labels)
     return batch

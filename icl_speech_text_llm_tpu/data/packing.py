@@ -43,6 +43,11 @@ class PackConfig:
     max_slots: int = 6  # audio slots per sample (k exemplars + main; SQA: 2k+2)
     audio_tokens_per_slot: int = 88  # Q-Former windows per clip
     completion_len: int = 32  # completion token budget (train targets)
+    #: raw wav sample count → audio positions for that clip (None → every
+    #: slot occupies the full audio_tokens_per_slot budget). Qwen2-Audio sets
+    #: models.qwen_audio.audio_output_length here — the reference's per-clip
+    #: feature_attention_mask splice count (ref: models/custom_qwen.py:174-185).
+    audio_len_fn: Optional[Any] = None
 
 
 @dataclass
@@ -55,6 +60,12 @@ class PackedSample:
     prompt: str
     completion: str
     extras: Dict[str, Any] = field(default_factory=dict)
+    #: per-slot audio positions to splice (None → full audio_tokens_per_slot).
+    #: Qwen2-Audio's variable-length semantics: clip i contributes
+    #: slot_token_counts[i] ≤ T_a positions (the first ones of its slot block)
+    #: — the packed equivalent of HF's feature_attention_mask splice
+    #: (ref: models/custom_qwen.py:174-185).
+    slot_token_counts: Optional[List[int]] = None
 
 
 @dataclass
@@ -95,7 +106,11 @@ def required_config(samples: Sequence["PackedSample"], cfg: PackConfig) -> PackC
     need_text, need_seq, need_slots = cfg.text_len, cfg.seq_len, cfg.max_slots
     for s in samples:
         n_text = sum(len(t) for t in s.segment_tokens) + len(s.completion_tokens)
-        n_seq = n_text + len(s.slots) * cfg.audio_tokens_per_slot
+        if s.slot_token_counts is not None:
+            n_audio = sum(min(c, cfg.audio_tokens_per_slot) for c in s.slot_token_counts)
+        else:
+            n_audio = len(s.slots) * cfg.audio_tokens_per_slot
+        n_seq = n_text + n_audio
         need_text = max(need_text, -(-n_text // 128) * 128)
         need_seq = max(need_seq, -(-n_seq // 256) * 256)
         need_slots = max(need_slots, len(s.slots))
@@ -148,11 +163,13 @@ def pack_batch(samples: Sequence[PackedSample], cfg: PackConfig) -> PackedBatch:
             # +1: row 0 of the table is the pad row
             positions.extend(range(1 + start, 1 + start + len(toks)))
 
+        counts = s.slot_token_counts
         for i, seg_toks in enumerate(s.segment_tokens):
             push_text(seg_toks)
             if i < len(s.slots):
                 slot_start = audio_base + i * T_a
-                positions.extend(range(slot_start, slot_start + T_a))
+                n_i = T_a if counts is None else min(counts[i], T_a)
+                positions.extend(range(slot_start, slot_start + n_i))
 
         prompt_len = len(positions)
         completion_start = prompt_len

@@ -123,14 +123,26 @@ class QwenAudioModel(BaseModel):
         from functools import partial as _partial
 
         from ..inference.engine import GenerationConfig
-        from .qwen_audio import qwen_audio_generate, qwen_audio_train_loss
+        from .qwen_audio import (
+            audio_output_length,
+            qwen_audio_generate,
+            qwen_audio_train_loss,
+        )
 
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.pack_cfg = pack_cfg or PackConfig(
-            audio_tokens_per_slot=cfg.audio_tokens_per_slot
+            audio_tokens_per_slot=cfg.audio_tokens_per_slot,
+            audio_len_fn=audio_output_length,
         )
+        if self.pack_cfg.audio_len_fn is None:
+            # per-clip variable audio positions are part of the Qwen2-Audio
+            # contract (HF feature_attention_mask splice) — enforce even for
+            # caller-supplied pack configs
+            import dataclasses as _dc
+
+            self.pack_cfg = _dc.replace(self.pack_cfg, audio_len_fn=audio_output_length)
         self.gen = generation or GenerationConfig(
             eos_token_id=tokenizer.eos_token_id, pad_token_id=tokenizer.pad_token_id
         )
@@ -150,7 +162,7 @@ class QwenAudioModel(BaseModel):
             "gather_idx": jnp.asarray(batch.gather_idx),
             "seq_mask": jnp.asarray(batch.seq_mask),
             "seq_lengths": jnp.asarray(batch.seq_lengths),
-            "wavs": jnp.asarray(batch.audio["wavs"]),
+            **{k: jnp.asarray(v) for k, v in batch.audio.items()},
         }
         if train:
             dev["shifted_labels"] = jnp.asarray(batch.labels_shifted)
@@ -197,7 +209,8 @@ class QwenAudioModel(BaseModel):
         from ..ops.mel import log_mel_spectrogram
         from .qwen_audio import encode_audio
 
-        return encode_audio(self.cfg, self.params, log_mel_spectrogram(jnp.asarray(wavs)))
+        mels = log_mel_spectrogram(jnp.asarray(wavs), self.cfg.encoder.n_mels)
+        return encode_audio(self.cfg, self.params, mels)
 
     def load_trainable(self, ckpt_dir: str):
         state = load_checkpoint(ckpt_dir)

@@ -11,7 +11,12 @@ Qwen2AudioForConditionalGeneration (ref: models/custom_qwen.py:29-247):
 - LoRA on q/k projections, r=8 α=32, mirrors the reference PEFT setup
   (ref :69-81);
 - prompt packing reuses the SAME one-gather assembly: each audio slot
-  occupies 750 fixed positions (vs SALMONN's 88).
+  occupies a 750-position block (vs SALMONN's 88) but splices only
+  ``audio_output_length(n_samples)`` positions per clip — the reference's
+  feature_attention_mask semantics (ref: models/custom_qwen.py:174-185 +
+  data/model_processors.py:149,221,412): short clips contribute fewer
+  positions, and the encoder's self-attention is masked past the clip's
+  valid frames.
 """
 
 from __future__ import annotations
@@ -52,14 +57,25 @@ class QwenAudioConfig:
     def audio_tokens_per_slot(self) -> int:
         return self.encoder.n_ctx // self.pool_stride  # 750 for 30 s
 
+    @property
+    def audio_len_fn(self):
+        """Per-clip splice-count policy for PackConfig (variable audio
+        positions — HF feature_attention_mask semantics)."""
+        return audio_output_length
+
 
 def qwen2_audio_7b() -> QwenAudioConfig:
-    """Qwen2-Audio-7B-Instruct shape (ref: models/custom_qwen.py:51)."""
+    """Qwen2-Audio-7B-Instruct shape (ref: models/custom_qwen.py:51).
+
+    The audio tower uses 128 mel bins (HF Qwen2AudioEncoderConfig default:
+    num_mel_bins=128, feature_size=128 in its WhisperFeatureExtractor) —
+    unlike SALMONN's Whisper-large-v2 at 80."""
     return QwenAudioConfig(
         # flash on the audio tower (head_dim 64) — same kernel + block
         # heuristic validated for the SALMONN whisper path; gated off
         # automatically on non-TPU backends
-        encoder=dataclasses.replace(WHISPER_CONFIGS["large-v2"], use_flash=True),
+        encoder=dataclasses.replace(
+            WHISPER_CONFIGS["large-v2"], use_flash=True, n_mels=128),
         llm=DECODER_CONFIGS["qwen2-7b"],
         compute_dtype=jnp.bfloat16,
     )
@@ -98,18 +114,51 @@ def init_qwen_audio(key, cfg: QwenAudioConfig) -> Dict[str, Any]:
     return params
 
 
+def audio_feat_lengths(n_samples, hop: int = 160):
+    """Raw 16 kHz sample count → valid post-conv encoder frames.
+
+    HF chain (verified against WhisperFeatureExtractor + Qwen2AudioEncoder.
+    _get_feat_extract_output_lengths): valid mel frames = n_samples // hop,
+    then conv2 stride 2 gives (mel - 1)//2 + 1 frames."""
+    mel = n_samples // hop
+    return (mel - 1) // 2 + 1
+
+
+def audio_output_length(n_samples, hop: int = 160) -> int:
+    """Raw 16 kHz sample count → spliced audio positions after avg_pool(2).
+
+    The HF formula ``(feat_len - 2)//2 + 1`` (Qwen2AudioEncoder.
+    _get_feat_extract_output_lengths); 480000 samples → 750 positions.
+    Host (packing) and device (masking) both use this so the gather and the
+    encoder mask always agree."""
+    return (audio_feat_lengths(n_samples, hop) - 2) // 2 + 1
+
+
 def encode_audio(
-    cfg: QwenAudioConfig, params: Dict[str, Any], mels: jnp.ndarray
+    cfg: QwenAudioConfig,
+    params: Dict[str, Any],
+    mels: jnp.ndarray,
+    sample_lengths: jnp.ndarray = None,  # (N,) valid raw samples per clip
 ) -> jnp.ndarray:
-    """(N, 80, 3000) mel → (N, 750, llm_dim) audio positions.
+    """(N, n_mels, 3000) mel → (N, 750, llm_dim) audio positions.
 
     HF order (Qwen2AudioEncoder.forward): layers → avg_pool(2) → final
-    layer_norm → projector. Pooling happens BEFORE the final LN."""
+    layer_norm → projector. Pooling happens BEFORE the final LN.
+
+    ``sample_lengths`` enables the reference's per-clip audio-length
+    semantics (feature_attention_mask, ref models/custom_qwen.py:174-185):
+    encoder self-attention is masked past each clip's valid frames and only
+    positions < audio_output_length(n) carry meaning — callers splice that
+    many (the packed gather_idx does this per slot)."""
     from .common import layer_norm
 
     dt = cfg.compute_dtype
+    frame_lengths = None
+    if sample_lengths is not None:
+        frame_lengths = audio_feat_lengths(sample_lengths.astype(jnp.int32))
     feats = whisper_encode(cfg.encoder, params["encoder"], mels, dtype=dt,
-                           apply_ln_post=False)  # (N,1500,D), pre-LN
+                           apply_ln_post=False,
+                           frame_lengths=frame_lengths)  # (N,1500,D), pre-LN
     N, T, D = feats.shape
     s = cfg.pool_stride
     pooled = feats[:, : (T // s) * s].reshape(N, T // s, s, D).mean(axis=2)
@@ -133,8 +182,11 @@ def _encode_batch_audio(cfg, params, batch):
     wavs = wavs_to_float(batch["wavs"])
     n_slots = wavs.shape[1]
     flat = pad_or_trim(wavs.reshape(B * n_slots, wavs.shape[-1]))
-    mels = log_mel_spectrogram(flat)
-    audio = encode_audio(cfg, params, mels)
+    mels = log_mel_spectrogram(flat, cfg.encoder.n_mels)
+    lengths = batch.get("audio_lengths")
+    if lengths is not None:
+        lengths = lengths.reshape(B * n_slots)
+    audio = encode_audio(cfg, params, mels, sample_lengths=lengths)
     return audio.reshape(B, n_slots, -1, cfg.llm.dim)
 
 

@@ -93,7 +93,7 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int) -> jnp.
 
 
 def _block_forward(
-    cfg: WhisperEncoderConfig, block, x: jnp.ndarray, lengths=None
+    cfg: WhisperEncoderConfig, block, x: jnp.ndarray, lengths=None, use_flash=False
 ) -> jnp.ndarray:
     B, T, d = x.shape
     h = layer_norm(x, block["ln1"]["w"], block["ln1"]["b"])
@@ -105,10 +105,16 @@ def _block_forward(
     q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-    if lengths is not None:
+    if use_flash:
         from ..ops.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, lengths=lengths, causal=False)
+    elif lengths is not None:
+        # key-only padding mask — matches HF Qwen2-Audio's additive -inf mask
+        # over the audio tower (padded queries produce garbage rows that the
+        # splice discards, exactly like HF)
+        key_mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, None, None, :]
+        out = dot_product_attention(q, k, v, mask=key_mask)
     else:
         out = dot_product_attention(q, k, v)  # full bidirectional, no mask
     out = out.transpose(0, 2, 1, 3).reshape(B, T, d)
@@ -127,17 +133,25 @@ def whisper_encode(
     mel: jnp.ndarray,  # (B, n_mels, 3000)
     dtype=jnp.float32,
     apply_ln_post: bool = True,
+    frame_lengths: jnp.ndarray = None,  # (B,) valid post-conv frames (≤ n_ctx)
 ) -> jnp.ndarray:
     """Mel spectrogram → (B, 1500, dim) encoder states.
 
     ``apply_ln_post=False`` returns pre-final-LN states (Qwen2-Audio pools
-    BEFORE the final layer norm)."""
+    BEFORE the final layer norm).
+
+    ``frame_lengths`` masks self-attention keys past each sample's valid
+    frame count — the Qwen2-Audio ``feature_attention_mask`` semantics
+    (ref: models/custom_qwen.py:174-185 passes the mask into HF, which
+    builds a key-padding mask over the audio tower). Rows past the length
+    are garbage and must be discarded by the caller's splice."""
     x = mel.astype(dtype).transpose(0, 2, 1)  # (B, 3000, n_mels)
     x = jax.nn.gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2), approximate=False)
     x = x + params["positions"].astype(dtype)[None, : x.shape[1]]
 
-    lengths = None
+    lengths = frame_lengths
+    use_flash = False
     n_ctx = x.shape[1]
     if cfg.use_flash:
         from ..ops.flash_attention import flash_attention_usable
@@ -145,10 +159,12 @@ def whisper_encode(
         pad_to = -(-n_ctx // 128) * 128  # 1500 → 1536
         if flash_attention_usable(pad_to, cfg.dim // cfg.n_heads):
             x = jnp.pad(x, ((0, 0), (0, pad_to - n_ctx), (0, 0)))
-            lengths = jnp.full((x.shape[0],), n_ctx, jnp.int32)
+            if lengths is None:
+                lengths = jnp.full((x.shape[0],), n_ctx, jnp.int32)
+            use_flash = True
 
     def body(x, block):
-        return _block_forward(cfg, block, x, lengths), None
+        return _block_forward(cfg, block, x, lengths, use_flash), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = x[:, :n_ctx]

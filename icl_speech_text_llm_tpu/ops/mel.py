@@ -126,7 +126,7 @@ def pad_or_trim(wav: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
 
 
 def _log_mel_single(wav: jnp.ndarray, mel_fb: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """(N_SAMPLES,) f32 → (N_MELS, N_FRAMES) Whisper log-mel features."""
+    """(N_SAMPLES,) f32 → (n_mels, N_FRAMES) Whisper log-mel features."""
     # Whisper drops the final STFT frame, so only N_FRAMES windows are needed;
     # center=True reflect padding of n_fft//2 on each side.
     padded = jnp.pad(wav, (N_FFT // 2, N_FFT // 2), mode="reflect")
@@ -142,25 +142,28 @@ def _log_mel_single(wav: jnp.ndarray, mel_fb: jnp.ndarray, window: jnp.ndarray) 
     return log_spec.T  # (N_MELS, N_FRAMES)
 
 
-@jax.jit
-def log_mel_spectrogram(wav: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1,))
+def log_mel_spectrogram(wav: jnp.ndarray, n_mels: int = N_MELS) -> jnp.ndarray:
     """Whisper log-mel features.
 
     Args:
         wav: (n,) or (B, n) float32 PCM at 16 kHz. Padded/truncated to 30 s.
+        n_mels: filter-bank size — 80 for Whisper-large-v2 (SALMONN),
+            128 for Qwen2-Audio's tower (HF ``WhisperFeatureExtractor``
+            with ``feature_size=128``; same Slaney bank, more filters).
 
     Returns:
-        (N_MELS, N_FRAMES) or (B, N_MELS, N_FRAMES), parity with
+        (n_mels, N_FRAMES) or (B, n_mels, N_FRAMES), parity with
         ``WhisperFeatureExtractor`` to ~1e-4.
     """
-    mel_fb = jnp.asarray(mel_filter_bank())
+    mel_fb = jnp.asarray(mel_filter_bank(n_mels=n_mels))
     window = jnp.asarray(np.hanning(N_FFT + 1)[:-1].astype(np.float32))
     wav = pad_or_trim(wav.astype(jnp.float32))
     if wav.ndim == 1:
         return _log_mel_single(wav, mel_fb, window)
     flat = wav.reshape(-1, N_SAMPLES)
     out = jax.vmap(_log_mel_single, in_axes=(0, None, None))(flat, mel_fb, window)
-    return out.reshape(*wav.shape[:-1], N_MELS, N_FRAMES)
+    return out.reshape(*wav.shape[:-1], n_mels, N_FRAMES)
 
 
 def resample_kaiser(wav: jnp.ndarray, orig_sr: int, new_sr: int, zeros: int = 16) -> jnp.ndarray:

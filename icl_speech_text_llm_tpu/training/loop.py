@@ -49,7 +49,8 @@ def _device_batch(batch, mesh=None):
         "gather_idx": jnp.asarray(batch.gather_idx),
         "seq_mask": jnp.asarray(batch.seq_mask),
         "shifted_labels": jnp.asarray(batch.labels_shifted),
-        "wavs": jnp.asarray(batch.audio["wavs"]),
+        # wavs + any model-specific audio sidecars (e.g. Qwen audio_lengths)
+        **{k: jnp.asarray(v) for k, v in batch.audio.items()},
     }
     if mesh is not None:
         from ..parallel.sharding import shard_batch

@@ -64,3 +64,19 @@ def test_mel_filter_bank_properties():
     assert fb.min() >= 0.0
     # every filter has support
     assert (fb.sum(axis=0) > 0).all()
+
+
+def test_log_mel_128_parity_live():
+    """Qwen2-Audio's tower takes 128 mel bins (WhisperFeatureExtractor
+    feature_size=128); the n_mels parameterization must match HF."""
+    pytest.importorskip("transformers")
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor(feature_size=128)
+    wav = np.random.RandomState(5).randn(44_100).astype(np.float32) * 0.1
+    ref = np.asarray(
+        fe(wav, sampling_rate=16000, padding="max_length")["input_features"]
+    )[0]
+    mine = np.asarray(log_mel_spectrogram(wav, 128))
+    assert mine.shape == ref.shape == (128, N_FRAMES)
+    assert np.abs(mine - ref).max() < 1e-3

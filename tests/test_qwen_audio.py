@@ -80,6 +80,69 @@ def test_qwen_audio_loss_and_generate():
     assert bool((toks >= 0).all())
 
 
+def test_variable_audio_length_packing():
+    """Short clips must splice audio_output_length(n) positions, not 750
+    (HF feature_attention_mask semantics, ref models/custom_qwen.py:174-185)."""
+    from icl_speech_text_llm_tpu.models.qwen_audio import audio_output_length
+
+    # formula anchors (verified against HF _get_feat_extract_output_lengths)
+    assert audio_output_length(480_000) == 750  # 30 s
+    assert audio_output_length(16_000) == 25    # 1 s
+    assert audio_output_length(116_800) == 182  # 7.3 s
+
+    cfg = qwen2_audio_tiny()
+    tok = get_tokenizer()
+    pack_cfg = PackConfig(
+        seq_len=1024, text_len=192, max_slots=2,
+        audio_tokens_per_slot=cfg.audio_tokens_per_slot,
+        audio_len_fn=audio_output_length,
+    )
+    rng = np.random.RandomState(0)
+    plan = build_qwen_prompt("S", "", [{"text": "ex", "label": "x"}],
+                             input_mode="speech_only", fewshot_mode="speech")
+    short, full = 16_000, 480_000
+    sample = ICLSample(
+        plan=plan, completion="y",
+        slot_audio={("example", 0): rng.randn(short).astype(np.float32) * 0.05,
+                    ("main", 0): rng.randn(full).astype(np.float32) * 0.05},
+    )
+    batch = collate_icl_batch([sample], tok, pack_cfg)
+    n_text = int((batch.text_tokens[0] != 0).sum())
+    expect = n_text + audio_output_length(short) + audio_output_length(full)
+    assert int(batch.seq_mask[0].sum()) == expect
+    # per-slot raw lengths ship for the on-device encoder mask
+    np.testing.assert_array_equal(batch.audio["audio_lengths"][0], [short, full])
+    # the gather picks the FIRST audio_output_length positions of each slot block
+    # (audio_base from the ACTUAL batch — auto-grow may widen text_len)
+    audio_base = 1 + batch.text_tokens.shape[1]
+    idx = batch.gather_idx[0][: int(batch.seq_mask[0].sum())]
+    slot0 = idx[(idx >= audio_base) & (idx < audio_base + 750)]
+    np.testing.assert_array_equal(
+        slot0, np.arange(audio_base, audio_base + audio_output_length(short)))
+
+
+def test_qwen_model_variable_length_e2e():
+    """QwenAudioModel plumbs audio_lengths end-to-end: loss + generate run
+    on a mixed-length batch and the pack uses variable splice counts."""
+    from icl_speech_text_llm_tpu.models.factory import create_model
+
+    model = create_model("qwen2-audio-tiny", seed=0)
+    assert model.pack_cfg.audio_len_fn is not None
+    rng = np.random.RandomState(1)
+    samples = []
+    for n in (16_000, 480_000):
+        plan = build_qwen_prompt("Classify.", "", [],
+                                 input_mode="speech_only", fewshot_mode="text")
+        samples.append(ICLSample(
+            plan=plan, completion="positive",
+            slot_audio={("main", 0): rng.randn(n).astype(np.float32) * 0.05},
+        ))
+    out = model.forward(samples)
+    assert bool(jnp.isfinite(out["loss"]))
+    preds = model.generate_output(samples)
+    assert len(preds) == 2
+
+
 def test_factory_routes_qwen():
     from icl_speech_text_llm_tpu.models.factory import QwenAudioModel, create_model
 
