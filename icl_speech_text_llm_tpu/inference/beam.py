@@ -51,6 +51,13 @@ def apply_repetition_penalty(
 
 
 def _norm(cum: jnp.ndarray, length, length_penalty: float) -> jnp.ndarray:
+    """Length-normalized score, cum / len**penalty.
+
+    Intentional divergence from HF: a hypothesis finished by EOS at the very
+    first step (length 0) normalizes by max(len, 1) == 1 here, where HF
+    divides by 0**length_penalty (inf/nan) — rankings can differ from HF in
+    that degenerate case when length_penalty != 0. Every hypothesis with at
+    least one generated token matches HF exactly."""
     return cum / (jnp.maximum(length, 1).astype(jnp.float32) ** length_penalty)
 
 

@@ -158,7 +158,11 @@ def _decode_kernel(llm_cfg, scfg, n_inner, params, cache, tok, cur_len, done,
         nxt = _sample_next(logits, temps, step_rng)
         nxt = jnp.where(done, scfg.pad_token_id, nxt)
         done = done | (nxt == scfg.eos_token_id)
-        return (cache, nxt, cur_len + 1, done), nxt
+        # done slots (EOS'd, budget-spent, or empty) ride along but must not
+        # advance: an unfrozen cur_len would exceed cache_len and rely on the
+        # clamped dynamic_update_slice repeatedly hitting the lane's last KV
+        # position. Frozen, the rider rewrites one in-bounds scratch position.
+        return (cache, nxt, jnp.where(done, cur_len, cur_len + 1), done), nxt
 
     rngs = jax.random.split(rng, n_inner)
     (cache, tok, cur_len, done), toks = jax.lax.scan(
@@ -263,6 +267,15 @@ class ContinuousBatchingEngine:
         riders = [i for i in range(len(self._slots)) if self._sched[i] is not None]
         if riders and any(s < self.cfg.max_new_tokens
                           for s in self._sched if s is not None):
+            # budget-spent occupants that never sampled EOS are done as far as
+            # the schedule is concerned; fold that host knowledge into the
+            # device mask so they stop sampling/advancing while they ride
+            spent = np.array(
+                [s is not None and s >= self.cfg.max_new_tokens
+                 for s in self._sched] + [True],  # scratch lane always done
+                bool)
+            if spent.any():
+                self._done = self._done | jnp.asarray(spent)
             self._rng, step_rng = jax.random.split(self._rng)
             self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
                 self.params, self._cache, self._tok, self._cur_len, self._done,

@@ -76,10 +76,17 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     group = K // n_groups
     g_half = n_groups // 2
     # largest multiple of 128 ≤ block_n dividing N; largest multiple of
-    # ``group`` ≤ block_k dividing half (both exist: N % 128 == 0 is gated,
-    # half % group == 0 by construction)
-    bn = next(b for b in range(min(block_n, N), 0, -128) if N % b == 0)
-    bk = next(b for b in range(min(block_k, half), 0, -group) if half % b == 0)
+    # ``group`` ≤ block_k dividing half (both exist once the search start is
+    # itself rounded down to the step: N % 128 == 0 is gated, half % group == 0
+    # by construction — an unaligned caller block size must not skip them)
+    if block_n < 128 or block_k < group:
+        raise ValueError(
+            f"block_n must be >= 128 and block_k >= group ({group}); "
+            f"got block_n={block_n}, block_k={block_k}")
+    bn0 = min(block_n, N) // 128 * 128
+    bk0 = min(block_k, half) // group * group
+    bn = next(b for b in range(bn0, 0, -128) if N % b == 0)
+    bk = next(b for b in range(bk0, 0, -group) if half % b == 0)
     sub = bk // group
     n_k = half // bk
     grid = (N // bn, n_k)

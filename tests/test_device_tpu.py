@@ -1,0 +1,119 @@
+"""Opt-in REAL-DEVICE tests (``pytest -m device``).
+
+The default suite pins JAX to a virtual 8-device CPU mesh (conftest.py), so
+Pallas kernels are only exercised in interpret mode there. These tests re-exec
+in ONE child process WITHOUT the cpu pin so the tunneled TPU backend ("axon")
+loads, run every kernel check in that single process (backend init through the
+tunnel can cost minutes — paying it once is the difference between a usable
+and an un-runnable suite), and compare the real Mosaic-lowered kernels against
+their XLA oracles.
+
+Run with ``python -m pytest tests/ -m device`` on a device-attached box.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.device
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import jax, jax.numpy as jnp, numpy as np
+
+if jax.devices()[0].platform == "cpu":
+    print("NO_DEVICE")
+    raise SystemExit(0)
+
+# --- 1) gated-bias flash kernel vs the f32 XLA fallback path (ADVICE r2:
+# the kernel stores the shared rel-pos bias bf16 while models/beats.py keeps
+# it f32 — bound the divergence of the REAL Mosaic lowering explicitly) ---
+from icl_speech_text_llm_tpu.ops.flash_attention import (
+    flash_attention, flash_attention_gated_bias)
+from icl_speech_text_llm_tpu.ops.attention import (
+    dot_product_attention, make_prefill_mask)
+
+B, H, S, D = 2, 4, 512, 128
+ks = jax.random.split(jax.random.PRNGKey(0), 8)
+q = jax.random.normal(ks[0], (B, H, S, D)) * 0.3
+k = jax.random.normal(ks[1], (B, H, S, D)) * 0.3
+v = jax.random.normal(ks[2], (B, H, S, D)) * 0.3
+xh = jax.random.normal(ks[3], (B, H, S, D)) * 0.3
+bias = jax.random.normal(ks[4], (H, S, S)) * 0.5
+grep_w = jax.random.normal(ks[5], (D, 8)) * 0.2
+grep_b = jax.random.normal(ks[6], (8,)) * 0.1
+grep_a = 1.0 + 0.1 * jax.random.normal(ks[7], (H,))
+lengths = jnp.array([512, 300])
+
+out = flash_attention_gated_bias(q, k, v, xh, bias, grep_w, grep_b,
+                                 grep_a, lengths)
+proj = xh @ grep_w + grep_b
+ga = jax.nn.sigmoid(proj[..., :4].sum(-1))
+gb = jax.nn.sigmoid(proj[..., 4:].sum(-1))
+scale = ga * (gb * grep_a[None, :, None] - 1.0) + 2.0
+logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (D ** -0.5)
+logits = logits + scale[..., None] * bias[None]
+valid = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None]
+logits = jnp.where(valid, logits, -1e30)
+ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+d0 = float(np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max())
+d1 = float(np.abs(np.asarray(out[1, :, :300]) - np.asarray(ref[1, :, :300])).max())
+print("GATED_BIAS", d0, d1)
+
+# --- 2) plain flash kernel (decoder path) vs XLA attention ---
+out = flash_attention(q, k, v, lengths=lengths, causal=True)
+ref = dot_product_attention(q, k, v, make_prefill_mask(lengths, S))
+d0 = float(np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max())
+d1 = float(np.abs(np.asarray(out[1, :, :300]) - np.asarray(ref[1, :, :300])).max())
+print("FLASH", d0, d1)
+
+# --- 3) packed-tile int4 kernel vs explicit dequant matmul ---
+from icl_speech_text_llm_tpu.ops.int4_matmul import int4_matmul
+from icl_speech_text_llm_tpu.ops.quant import quantize_tensor_int4, _dequant_int4
+
+K, N = 1024, 1024
+w = jax.random.normal(jax.random.PRNGKey(2), (K, N)) * 0.05
+qt = quantize_tensor_int4(w, group=128)
+x = jax.random.normal(jax.random.PRNGKey(3), (8, K)).astype(jnp.bfloat16)
+o = int4_matmul(x, qt["q4"], qt["s"])
+r = x @ _dequant_int4(qt, jnp.bfloat16)
+d = float(np.abs(np.asarray(o, np.float32) - np.asarray(r, np.float32)).max())
+rel = d / (float(np.abs(np.asarray(r, np.float32)).max()) + 1e-9)
+print("INT4", rel)
+"""
+
+
+@pytest.fixture(scope="module")
+def device_results():
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    proc = subprocess.run([sys.executable, "-c", _SCRIPT], capture_output=True,
+                          text=True, timeout=1800, env=env, cwd=_REPO)
+    if "NO_DEVICE" in proc.stdout:
+        pytest.skip("no real TPU backend reachable")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = {}
+    for line in proc.stdout.splitlines():
+        parts = line.split()
+        if parts and parts[0] in ("GATED_BIAS", "FLASH", "INT4"):
+            out[parts[0]] = [float(p) for p in parts[1:]]
+    return out
+
+
+def test_gated_bias_flash_on_device_matches_f32_xla_path(device_results):
+    """Tolerance: bf16 quantization of a |bias|<=0.5 table amplified through
+    a ~2.5x gate and softmax — the mantissa step at 0.5 is 2^-9 ~ 2e-3."""
+    d0, d1 = device_results["GATED_BIAS"]
+    assert d0 < 2e-3 and d1 < 2e-3, (d0, d1)
+
+
+def test_flash_attention_on_device_matches_xla(device_results):
+    d0, d1 = device_results["FLASH"]
+    assert d0 < 3e-3 and d1 < 3e-3, (d0, d1)
+
+
+def test_int4_matmul_on_device_matches_dequant(device_results):
+    (rel,) = device_results["INT4"]
+    assert rel < 0.05, rel
