@@ -31,10 +31,15 @@ from __future__ import annotations
 
 import functools
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# packed-tile byte budget for the default block_n choice (see int4_matmul)
+_TILE_BYTES_BUDGET = 2_900_000
 
 
 def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc, *,
@@ -65,28 +70,38 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc, *,
 
 
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
-                block_n: int = 1536, block_k: int = 512) -> jnp.ndarray:
+                block_n: Optional[int] = None,
+                block_k: int = 512) -> jnp.ndarray:
     """x (M, K) @ int4-packed weight → (M, N).
 
     ``packed`` (K/2, N) uint8 split-half nibbles, ``scales`` (K/group, N) f32
-    (group inferred; both halves hold whole groups by construction)."""
+    (group inferred; both halves hold whole groups by construction).
+
+    Default ``block_n``: the largest 128-multiple divisor of N whose packed
+    tile (block_k × block_n bytes) stays ≤ ~2.8 MB. Tile GEOMETRY dominates
+    this kernel's throughput on v5e — measured (r3, 500-iter in-jit loop,
+    dispatch floor subtracted): N=11008 bn=256 → 252 GB/s packed vs bn=5504 →
+    578 GB/s; N=13824 bn=256 → 263 vs bn=3456..6912 → 558..580. Small bn
+    re-reads x N/bn times and pays per-program overhead; tiles much past
+    ~3 MB fail Mosaic compilation at bk=512."""
     M, K = x.shape
     half, N = packed.shape
     n_groups = scales.shape[0]
     group = K // n_groups
     g_half = n_groups // 2
-    # largest multiple of 128 ≤ block_n dividing N; largest multiple of
-    # ``group`` ≤ block_k dividing half (both exist once the search start is
-    # itself rounded down to the step: N % 128 == 0 is gated, half % group == 0
-    # by construction — an unaligned caller block size must not skip them)
-    if block_n < 128 or block_k < group:
-        raise ValueError(
-            f"block_n must be >= 128 and block_k >= group ({group}); "
-            f"got block_n={block_n}, block_k={block_k}")
-    bn0 = min(block_n, N) // 128 * 128
+    if block_k < group:
+        raise ValueError(f"block_k must be >= group ({group}); got {block_k}")
     bk0 = min(block_k, half) // group * group
-    bn = next(b for b in range(bn0, 0, -128) if N % b == 0)
     bk = next(b for b in range(bk0, 0, -group) if half % b == 0)
+    if block_n is None:
+        block_n = max(128, _TILE_BYTES_BUDGET // bk // 128 * 128)
+    elif block_n < 128:
+        raise ValueError(f"block_n must be >= 128, got {block_n}")
+    # largest multiple of 128 ≤ block_n dividing N (exists once the search
+    # start is rounded down to the step: N % 128 == 0 is gated — an unaligned
+    # caller block size must not skip it)
+    bn0 = min(block_n, N) // 128 * 128
+    bn = next(b for b in range(bn0, 0, -128) if N % b == 0)
     sub = bk // group
     n_k = half // bk
     grid = (N // bn, n_k)
