@@ -86,6 +86,7 @@ class _Slot:
     prompt_len: int = 0
     tokens: List[int] = field(default_factory=list)
     active: bool = False
+    budget: int = 0  # per-request max_new_tokens (<= cfg.max_new_tokens)
 
 
 def _bucket_for(length: int, buckets: Tuple[int, ...]) -> int:
@@ -217,6 +218,9 @@ class ContinuousBatchingEngine:
         # reuses slots with zero host syncs on the critical path. The _Slot
         # structs above are REPLAY state, reconstructed lazily at flush.
         self._sched: List[Optional[int]] = [None] * S
+        # per-slot occupant budget (request's max_new_tokens); aligned with
+        # _sched: the occupant is provably finished once sched >= budget
+        self._budget: List[int] = [cfg.max_new_tokens] * S
         # ONE compiled decode program: always sync_every fused steps. Slots
         # whose budget ends mid-block just ride along masked — a wasted
         # micro-step costs ~ms, a fresh jit compile or an extra host sync
@@ -228,22 +232,34 @@ class ContinuousBatchingEngine:
         )
 
     # -- public API ---------------------------------------------------------
-    def submit(self, seq_emb, length: int, temperature: float = 0.0) -> int:
+    def submit(self, seq_emb, length: int, temperature: float = 0.0,
+               max_new_tokens: Optional[int] = None) -> int:
         """Enqueue a request: (L, D) prompt embeddings + true length.
 
         ``seq_emb`` may be a numpy array or a device (jax) array — device
         arrays stay on device through admission (no host round-trip).
-        ``temperature`` is per-request: 0 = greedy, >0 = softmax sampling."""
+        ``temperature`` is per-request: 0 = greedy, >0 = softmax sampling.
+        ``max_new_tokens`` is per-request (the reference's multi-task router
+        carries per-task budgets — ref models/multi_task_model.py:130-149);
+        it must not exceed ``cfg.max_new_tokens`` (the KV cache is sized for
+        that), and a smaller budget frees the slot sooner under the same
+        deterministic schedule."""
         _bucket_for(int(length), self.cfg.prompt_buckets)  # fail fast on oversize
+        mnt = self.cfg.max_new_tokens if max_new_tokens is None else int(max_new_tokens)
+        if not 1 <= mnt <= self.cfg.max_new_tokens:
+            raise ValueError(
+                f"max_new_tokens must be in [1, {self.cfg.max_new_tokens}] "
+                f"(cache sizing), got {mnt}")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, seq_emb, int(length), float(temperature)))
+        self._queue.append((rid, seq_emb, int(length), float(temperature), mnt))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue + all in-flight slots; return finished results."""
-        mx = self.cfg.max_new_tokens
-        while self._queue or any(s is not None and s < mx for s in self._sched):
+        while self._queue or any(
+                s is not None and s < self._budget[i]
+                for i, s in enumerate(self._sched)):
             self.step()
         self._flush()
         out, self._results = self._results, {}
@@ -265,14 +281,14 @@ class ContinuousBatchingEngine:
         long-``max_new_tokens`` configs."""
         self._admit()
         riders = [i for i in range(len(self._slots)) if self._sched[i] is not None]
-        if riders and any(s < self.cfg.max_new_tokens
-                          for s in self._sched if s is not None):
+        if riders and any(s is not None and s < self._budget[i]
+                          for i, s in enumerate(self._sched)):
             # budget-spent occupants that never sampled EOS are done as far as
             # the schedule is concerned; fold that host knowledge into the
             # device mask so they stop sampling/advancing while they ride
             spent = np.array(
-                [s is not None and s >= self.cfg.max_new_tokens
-                 for s in self._sched] + [True],  # scratch lane always done
+                [s is not None and s >= self._budget[i]
+                 for i, s in enumerate(self._sched)] + [True],  # scratch: done
                 bool)
             if spent.any():
                 self._done = self._done | jnp.asarray(spent)
@@ -302,10 +318,10 @@ class ContinuousBatchingEngine:
         r = 0
         for kind, info in meta:
             if kind == "admit":
-                for i, rid, length in info:
+                for i, rid, length, budget in info:
                     # the previous occupant finished within the preceding
                     # entries (admission required its budget spent)
-                    self._slots[i] = _Slot(rid, length, [], True)
+                    self._slots[i] = _Slot(rid, length, [], True, budget)
                     self._record(i, int(rows[r, i]))
                 r += 1
             else:  # ("decode", (n_inner, rider slot ids))
@@ -321,19 +337,17 @@ class ContinuousBatchingEngine:
         # (EOS before the budget): mark their schedule spent so _admit can
         # reuse them — this is what makes the cap-triggered flush bound the
         # wasted lanes in long-max_new configs, not just the log memory
-        mx = self.cfg.max_new_tokens
         for i, slot in enumerate(self._slots):
             if not slot.active and self._sched[i] is not None:
-                self._sched[i] = max(self._sched[i], mx)
+                self._sched[i] = max(self._sched[i], self._budget[i])
 
     # -- scheduler internals ------------------------------------------------
     def _admit(self) -> None:
-        mx = self.cfg.max_new_tokens
         while self._queue:
             # a slot is free when its occupant's budget is provably spent —
             # decided WITHOUT reading tokens back (deterministic schedule)
             free = [i for i, s in enumerate(self._sched)
-                    if s is None or s >= mx]
+                    if s is None or s >= self._budget[i]]
             if not free:
                 return
             # take the queue head plus FIFO-following requests in the SAME
@@ -356,7 +370,7 @@ class ContinuousBatchingEngine:
         nb = self.cfg.admit_batch
         # build the (nb, L, D) embedding block — device rows stay on device
         rows = []
-        for (_, emb, length, _t) in wave:
+        for (_, emb, length, _t, _m) in wave:
             if isinstance(emb, jnp.ndarray):
                 rows.append(jnp.pad(emb[:L], ((0, L - min(emb.shape[0], L)), (0, 0))))
             else:
@@ -395,10 +409,11 @@ class ContinuousBatchingEngine:
         row = jnp.zeros((len(self._slots) + 1,), jnp.int32).at[idx].set(first_toks)
         self._pending_rows.append(row[None, :])
         entries = []
-        for j, (rid, _e, length, _t) in enumerate(wave):
+        for j, (rid, _e, length, _t, mnt) in enumerate(wave):
             i = int(slot_ids[j])
-            entries.append((i, rid, length))
+            entries.append((i, rid, length, mnt))
             self._sched[i] = 1  # the prefill's first token
+            self._budget[i] = mnt
         self._pending_meta.append(("admit", entries))
 
     def _record(self, i: int, tok: int) -> None:
@@ -412,7 +427,7 @@ class ContinuousBatchingEngine:
         slot = self._slots[i]
         if tok != self.cfg.eos_token_id:
             slot.tokens.append(tok)
-        if tok == self.cfg.eos_token_id or len(slot.tokens) >= self.cfg.max_new_tokens:
+        if tok == self.cfg.eos_token_id or len(slot.tokens) >= slot.budget:
             self._results[slot.request_id] = slot.tokens
             self._slots[i] = _Slot()  # free the slot (device done[i] stays True)
 

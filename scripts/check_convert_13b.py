@@ -42,6 +42,10 @@ LAYERS_PER_SHARD = 8
 # One converted layer resident at a time: the largest tensor is
 # down_proj/up_proj at 13824x5120 f32 = 283 MB; budget covers a few copies
 # (read buffer + transpose + quantize) plus interpreter/numpy overhead.
+# The cap applies to peak ANONYMOUS memory (RssAnon): ru_maxrss also counts
+# mmap'd input shards and dirty output-memmap pages — file-backed, evicted
+# under pressure, and ~the whole 33 GB checkpoint by the end of a streaming
+# pass, which says nothing about residency.
 MAX_CONVERT_RSS_GB = 4.0
 
 
@@ -144,11 +148,19 @@ def synth_salmonn(root: str) -> None:
 def _run_convert(args_list, rss_cap_gb=None):
     """Run cli.convert in a child; return its ru_maxrss in GB."""
     code = (
-        "import resource, sys, json\n"
+        "import json, threading, time\n"
+        "peak = [0.0]\n"
+        "def _sample():\n"
+        "    while True:\n"
+        "        with open('/proc/self/status') as f:\n"
+        "            for line in f:\n"
+        "                if line.startswith('RssAnon:'):\n"
+        "                    peak[0] = max(peak[0], int(line.split()[1]) / 1e6)\n"
+        "        time.sleep(0.05)\n"
+        "threading.Thread(target=_sample, daemon=True).start()\n"
         "from icl_speech_text_llm_tpu.cli.convert import main\n"
         f"main({args_list!r})\n"
-        "rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6\n"
-        "print(json.dumps({'maxrss_gb': rss}))\n"
+        "print(json.dumps({'maxrss_gb': peak[0]}))\n"
     )
     t0 = time.time()
     proc = subprocess.run([sys.executable, "-c", code], capture_output=True,

@@ -162,3 +162,34 @@ def test_cap_flush_reclaims_early_eos_lanes(llm):
     # without reclamation: ~2 * ceil(63/4) = 32 steps; with it, the second
     # request admits right after the first cap flush (~2 blocks in)
     assert steps <= 12, steps
+
+
+def test_per_request_max_new_tokens(llm):
+    """Mixed per-request budgets in one engine run (ref multi_task_model.py:
+    130-149 carries per-task max_new_tokens): each output is the oracle's,
+    truncated to ITS budget, and small-budget slots free early (the run
+    completes with fewer decode blocks than all-max budgets would need)."""
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=EOS)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    reqs = _requests(cfg, 6, seed=3)
+    budgets = [1, MAX_NEW, 2, 3, MAX_NEW, 2]
+    rids = [eng.submit(emb, length, max_new_tokens=b)
+            for (emb, length), b in zip(reqs, budgets)]
+    results = eng.run()
+    assert set(results) == set(rids)
+    for rid, (emb, length), b in zip(rids, reqs, budgets):
+        assert results[rid] == _oracle(cfg, params, emb, length)[:b], f"request {rid}"
+
+
+def test_per_request_budget_validation(llm):
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=EOS)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    emb, length = _requests(cfg, 1)[0]
+    with pytest.raises(ValueError):
+        eng.submit(emb, length, max_new_tokens=MAX_NEW + 1)
+    with pytest.raises(ValueError):
+        eng.submit(emb, length, max_new_tokens=0)
