@@ -221,6 +221,11 @@ class ContinuousBatchingEngine:
         # per-slot occupant budget (request's max_new_tokens); aligned with
         # _sched: the occupant is provably finished once sched >= budget
         self._budget: List[int] = [cfg.max_new_tokens] * S
+        # dispatch counts per compiled program — the basis for DEVICE-TIME
+        # throughput accounting (dispatch_count × per-program device time),
+        # which is robust to link-latency drift where wall clock is not
+        self.stats: Dict[str, Any] = {"decode_blocks": 0, "prefill_waves": {},
+                                      "flushes": 0}
         # ONE compiled decode program: always sync_every fused steps. Slots
         # whose budget ends mid-block just ride along masked — a wasted
         # micro-step costs ~ms, a fresh jit compile or an extra host sync
@@ -298,6 +303,7 @@ class ContinuousBatchingEngine:
                 self._temps, step_rng, self.lora, self.lora_scaling,
             )
             self._pending_rows.append(toks)
+            self.stats["decode_blocks"] += 1
             # snapshot WHICH slots rode this block: a slot admitted after
             # this dispatch must not consume its rows at flush time
             self._pending_meta.append(("decode", (self._n_inner, riders)))
@@ -313,6 +319,7 @@ class ContinuousBatchingEngine:
         occupant was live), recording results with EOS/cap truncation."""
         if not self._pending_meta:
             return
+        self.stats["flushes"] += 1
         rows = np.asarray(jnp.concatenate(self._pending_rows, axis=0))
         meta, self._pending_meta, self._pending_rows = self._pending_meta, [], []
         r = 0
@@ -386,6 +393,7 @@ class ContinuousBatchingEngine:
         temps = np.array([r[3] for r in wave] + [0.0] * (nb - n), np.float32)
 
         key = (L, nb)
+        self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
         if key not in self._prefill:
             self._prefill[key] = jax.jit(
                 partial(_prefill_kernel, self.llm_cfg, self.cfg),

@@ -68,6 +68,12 @@ def test_matches_oracle_all_at_once(llm):
     assert set(results) == set(rids)
     for rid, (emb, length) in zip(rids, reqs):
         assert results[rid] == _oracle(cfg, params, emb, length), f"request {rid}"
+    # dispatch-count stats are the basis for device-time throughput
+    # accounting (bench.py bench_serving): every compiled-program launch
+    # must be counted
+    assert eng.stats["decode_blocks"] > 0
+    assert sum(eng.stats["prefill_waves"].values()) >= 3  # 7 reqs / 3 slots
+    assert eng.stats["flushes"] >= 1
 
 
 def test_staggered_arrivals_and_slot_reuse(llm):
