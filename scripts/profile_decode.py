@@ -1,0 +1,192 @@
+"""Component-level profile of the 7B DECODE step on the real chip.
+
+bench.py r3 measured 7B int8 decode at ~314 GB/s achieved — 38% of the HBM
+roofline — while the isolated int8 weight matmuls run at ~730 GB/s. This
+script decomposes one decode step (B=4, kv≈1030) inside single jits
+(lax.scan, dispatch floor subtracted) to find where the other ~60% goes:
+per-layer weight matmuls, attention-over-cache, the vmapped per-sample KV
+cache write, LoRA adapters, lm_head.
+
+Usage: python scripts/profile_decode.py  [ITERS=50]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ITERS = int(os.environ.get("ITERS", "50"))
+B, KV = 4, 1030
+
+
+def timed(fn, *args, name="", nbytes=0, floor=0.0):
+    def body(c, _):
+        out = fn(*args, c)
+        return c + out.astype(jnp.float32).ravel()[:4].sum() * 1e-30, None
+
+    @jax.jit
+    def run(c0=jnp.float32(0)):
+        return jax.lax.scan(body, c0, None, length=ITERS)[0]
+
+    run().block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); run().block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    dt = (best - floor) / ITERS
+    bw = f"{nbytes/dt/1e9:7.1f} GB/s" if nbytes else ""
+    print(f"{name:46s} {dt*1e3:9.3f} ms  {bw}")
+    return dt
+
+
+def measure_floor():
+    a = jnp.float32(1.0)
+
+    @jax.jit
+    def run(c0=jnp.float32(0)):
+        return jax.lax.scan(lambda c, _: (c + a * 1e-30, None), c0, None,
+                            length=ITERS)[0]
+
+    run().block_until_ready()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); run().block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        embed_tokens,
+        init_decoder_quantized,
+        init_kv_cache,
+        init_lora,
+        lm_logits,
+    )
+    from icl_speech_text_llm_tpu.models.salmonn import salmonn_7b
+    from icl_speech_text_llm_tpu.ops.attention import make_decode_mask
+
+    cfg = salmonn_7b()
+    llm = cfg.llm
+    k = jax.random.PRNGKey(0)
+    kl, klo = jax.random.split(k)
+    params = init_decoder_quantized(kl, llm, bits=8)
+    lora = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), init_lora(klo, llm, cfg.lora))
+
+    floor = measure_floor()
+    print(f"device {jax.devices()[0]}, floor {floor*1e3:.2f} ms/{ITERS} iters")
+
+    cache = init_kv_cache(llm, B, KV + 8)
+    cache_positions = jnp.full((B,), KV, jnp.int32)
+    tok = jnp.ones((B,), jnp.int32)
+    mask = make_decode_mask(cache_positions + 1, KV + 8)
+    positions = cache_positions[:, None]
+
+    def step(lora_tree, t, c):
+        emb = embed_tokens(params, t[:, None] + c.astype(jnp.int32) * 0,
+                           dtype=jnp.bfloat16)
+        hidden, _ = decoder_forward(
+            llm, params, emb, mask, positions, cache=cache,
+            cache_positions=cache_positions, lora=lora_tree,
+            lora_scaling=cfg.lora.scaling)
+        return lm_logits(llm, params, hidden)[:, 0]
+
+    w_bytes = sum(
+        x.nbytes for key, sub in params.items() if key != "tok_embed"
+        for x in jax.tree_util.tree_leaves(sub))
+    lora_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(lora))
+    kv_bytes = llm.n_layers * B * KV * llm.n_kv_heads * llm.hd * 2 * 2
+    step_bytes = w_bytes + lora_bytes + kv_bytes
+    print(f"weights {w_bytes/1e9:.2f} GB, lora {lora_bytes/1e9:.3f} GB, "
+          f"kv {kv_bytes/1e9:.2f} GB -> step {step_bytes/1e9:.2f} GB; "
+          f"roofline {step_bytes/819e9*1e3:.1f} ms/step")
+
+    timed(lambda t, c: step(lora, t, c), tok, name="full decode step (+lora)",
+          nbytes=step_bytes, floor=floor)
+    timed(lambda t, c: step(None, t, c), tok, name="full decode step (no lora)",
+          nbytes=w_bytes + kv_bytes, floor=floor)
+
+    # --- attention over the cache, all layers (no matmuls) ---
+    kq = jax.random.PRNGKey(1)
+    q = jax.random.normal(kq, (llm.n_layers, B, llm.n_heads, 1, llm.hd),
+                          jnp.bfloat16)
+
+    def attn_all_layers(c):
+        from icl_speech_text_llm_tpu.ops.attention import dot_product_attention
+
+        def body(acc, xs):
+            ql, ck, cv = xs
+            o = dot_product_attention(ql + acc * 0, ck.astype(jnp.bfloat16),
+                                      cv.astype(jnp.bfloat16), mask)
+            return acc + o.astype(jnp.float32).ravel()[0] * 1e-20, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              (q, cache["k"], cache["v"]))
+        return acc
+
+    timed(lambda c: attn_all_layers(c) + c * 0, name="attention x32 (cache read)",
+          nbytes=kv_bytes, floor=floor)
+
+    # --- the vmapped per-sample KV cache write, all layers ---
+    knew = jax.random.normal(kq, (llm.n_layers, B, llm.n_kv_heads, 1, llm.hd),
+                             jnp.bfloat16)
+
+    def write_all_layers(c):
+        def wr(ck, kl, pos):
+            return jax.lax.dynamic_update_slice(ck, kl.astype(ck.dtype),
+                                                (0, pos, 0))
+
+        def body(carry, xs):
+            ck, kl = xs
+            ck2 = jax.vmap(wr)(ck, kl + carry * 0, cache_positions)
+            return carry + ck2.astype(jnp.float32).ravel()[0] * 1e-20, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), (cache["k"], knew))
+        return acc
+
+    timed(lambda c: write_all_layers(c) + c * 0, name="vmap KV write x32",
+          floor=floor)
+
+    # --- weight matmuls only (the 7 per-layer projections, M=B) ---
+    x4 = jax.random.normal(kq, (B, llm.dim), jnp.bfloat16)
+
+    def matmuls_all_layers(c):
+        from icl_speech_text_llm_tpu.ops.quant import dequant_matmul
+
+        def body(acc, layer):
+            h = x4 + acc * 0
+            a, m = layer["attn"], layer["mlp"]
+            y = dequant_matmul(h, a["wq"]) + dequant_matmul(h, a["wk"]) \
+                + dequant_matmul(h, a["wv"])
+            y = y + dequant_matmul(h, a["wo"])
+            g = dequant_matmul(h, m["w_gate"])
+            u = dequant_matmul(h, m["w_up"])
+            d = dequant_matmul(jax.nn.silu(g) * u, m["w_down"])
+            return acc + (y.ravel()[0] + d.ravel()[0]).astype(jnp.float32) * 1e-20, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), params["layers"])
+        return acc
+
+    layer_bytes = sum(x.nbytes for p in ("attn", "mlp")
+                      for x in jax.tree_util.tree_leaves(params["layers"][p]))
+    timed(lambda c: matmuls_all_layers(c) + c * 0, name="7 weight matmuls x32",
+          nbytes=layer_bytes, floor=floor)
+
+    # --- lm_head ---
+    hid = jax.random.normal(kq, (B, 1, llm.dim), jnp.bfloat16)
+    timed(lambda c: lm_logits(llm, params, hid + c.astype(jnp.bfloat16) * 0)[:, 0],
+          name="lm_head", nbytes=params["lm_head"]["q"].nbytes, floor=floor)
+
+
+if __name__ == "__main__":
+    main()
