@@ -88,7 +88,7 @@ def beam_decode_from_sequence(
     K = gen.num_beams
     Tmax = gen.max_new_tokens
     lp = gen.length_penalty
-    cache_len = L + Tmax
+    cache_len = -(-(L + Tmax) // 128) * 128  # 128-aligned for the decode kernel
     V = llm_cfg.vocab_size
     sample = bool(gen.do_sample) and gen.temperature > 0
     if rng is None:

@@ -106,7 +106,10 @@ def decode_from_sequence(
     from ..ops.flash_attention import flash_attention_usable
 
     B, L, _ = seq.shape
-    cache_len = L + gen.max_new_tokens
+    # 128-aligned so the Pallas decode-attention kernel can tile the cache
+    # (ops/flash_attention.flash_decode_attention); the surplus positions sit
+    # beyond every per-sample length and are never attended or written
+    cache_len = -(-(L + gen.max_new_tokens) // 128) * 128
     cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt)
     prefill_mask = jnp.concatenate(
         [make_prefill_mask(lengths, L), jnp.zeros((B, 1, L, cache_len - L), bool)], axis=-1

@@ -73,7 +73,9 @@ class ServingConfig:
 
     @property
     def cache_len(self) -> int:
-        return max(self.prompt_buckets) + self.max_new_tokens
+        # 128-aligned so the Pallas decode-attention kernel can tile the
+        # pooled cache; surplus positions are never attended or written
+        return -(-(max(self.prompt_buckets) + self.max_new_tokens) // 128) * 128
 
 
 @dataclass

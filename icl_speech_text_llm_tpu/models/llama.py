@@ -351,9 +351,19 @@ def _layer_forward(
             causal=True,
         )
     else:
-        k_att = repeat_kv(k_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
-        v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
-        out = dot_product_attention(q, k_att, v_att, mask)
+        from ..ops.flash_attention import flash_decode_attention, flash_decode_usable
+
+        if (cache_positions is not None and T == 1
+                and flash_decode_usable(q.shape, k_att.shape)):
+            # single-token decode: stream the cache through the Pallas
+            # decode kernel at HBM rate (XLA's M=1 contraction lowering runs
+            # far below the roofline) — GQA handled by index map, so the
+            # cache is never repeat_kv-materialized
+            out = flash_decode_attention(q, k_att, v_att, cache_positions + 1)
+        else:
+            k_att = repeat_kv(k_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
+            v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
+            out = dot_product_attention(q, k_att, v_att, mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_heads * hd)
     x = x + _proj(out, attn["wo"], lora_layer, "wo", lora_scaling)
 

@@ -2,8 +2,9 @@
 
 bench.py r3 measured 7B int8 decode at ~314 GB/s achieved — 38% of the HBM
 roofline — while the isolated int8 weight matmuls run at ~730 GB/s. This
-script decomposes one decode step (B=4, kv≈1030) inside single jits
-(lax.scan, dispatch floor subtracted) to find where the other ~60% goes:
+script decomposes one decode step (B=4, kv≈1030) into separately jitted,
+pipelined components (dispatch floor subtracted) to find where the other
+~60% goes:
 per-layer weight matmuls, attention-over-cache, the vmapped per-sample KV
 cache write, LoRA adapters, lm_head.
 
@@ -27,20 +28,22 @@ B, KV = 4, 1030
 
 
 def timed(fn, *args, name="", nbytes=0, floor=0.0):
-    def body(c, _):
-        out = fn(*args, c)
-        return c + out.astype(jnp.float32).ravel()[:4].sum() * 1e-30, None
-
-    @jax.jit
-    def run(c0=jnp.float32(0)):
-        return jax.lax.scan(body, c0, None, length=ITERS)[0]
-
-    run().block_until_ready()
+    """Pipelined dispatch timing; the per-dispatch floor is measured and
+    subtracted. Components below ~2 ms are floor-dominated here — fine,
+    because the eaters this hunts are multi-ms. (A lax.scan wrapper would
+    remove the floor entirely but its compile cost through the
+    remote-compile tunnel exceeded 20 min for nested-scan components.)"""
+    jfn = jax.jit(lambda c, *a: fn(*a, c).astype(jnp.float32).ravel()[:4].sum())
+    np.asarray(jfn(jnp.float32(0), *args))  # compile + warm
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); run().block_until_ready()
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = jfn(jnp.float32(0), *args)
+        np.asarray(out)
         best = min(best, time.perf_counter() - t0)
-    dt = (best - floor) / ITERS
+    dt = max(best / ITERS - floor, 1e-9)
     bw = f"{nbytes/dt/1e9:7.1f} GB/s" if nbytes else ""
     print(f"{name:46s} {dt*1e3:9.3f} ms  {bw}")
     return dt
@@ -48,18 +51,17 @@ def timed(fn, *args, name="", nbytes=0, floor=0.0):
 
 def measure_floor():
     a = jnp.float32(1.0)
-
-    @jax.jit
-    def run(c0=jnp.float32(0)):
-        return jax.lax.scan(lambda c, _: (c + a * 1e-30, None), c0, None,
-                            length=ITERS)[0]
-
-    run().block_until_ready()
+    jfn = jax.jit(lambda c: a * 1e-30 + c)
+    np.asarray(jfn(jnp.float32(0)))
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); run().block_until_ready()
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = jfn(jnp.float32(0))
+        np.asarray(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / ITERS
 
 
 def main():
@@ -84,7 +86,7 @@ def main():
         lambda x: x.astype(jnp.bfloat16), init_lora(klo, llm, cfg.lora))
 
     floor = measure_floor()
-    print(f"device {jax.devices()[0]}, floor {floor*1e3:.2f} ms/{ITERS} iters")
+    print(f"device {jax.devices()[0]}, dispatch floor {floor*1e3:.2f} ms/call")
 
     cache = init_kv_cache(llm, B, KV + 8)
     cache_positions = jnp.full((B,), KV, jnp.int32)
@@ -92,14 +94,17 @@ def main():
     mask = make_decode_mask(cache_positions + 1, KV + 8)
     positions = cache_positions[:, None]
 
-    def step(lora_tree, t, c):
-        emb = embed_tokens(params, t[:, None] + c.astype(jnp.int32) * 0,
+    # params/cache/lora are ARGUMENTS everywhere below: closure-captured
+    # weights become HLO constants and the remote-compile payload (weights
+    # included) stalls compiles for tens of minutes
+    def step(p, cch, lora_tree, t, c):
+        emb = embed_tokens(p, t[:, None] + c.astype(jnp.int32) * 0,
                            dtype=jnp.bfloat16)
         hidden, _ = decoder_forward(
-            llm, params, emb, mask, positions, cache=cache,
+            llm, p, emb, mask, positions, cache=cch,
             cache_positions=cache_positions, lora=lora_tree,
             lora_scaling=cfg.lora.scaling)
-        return lm_logits(llm, params, hidden)[:, 0]
+        return lm_logits(llm, p, hidden)[:, 0]
 
     w_bytes = sum(
         x.nbytes for key, sub in params.items() if key != "tok_embed"
@@ -111,17 +116,18 @@ def main():
           f"kv {kv_bytes/1e9:.2f} GB -> step {step_bytes/1e9:.2f} GB; "
           f"roofline {step_bytes/819e9*1e3:.1f} ms/step")
 
-    timed(lambda t, c: step(lora, t, c), tok, name="full decode step (+lora)",
-          nbytes=step_bytes, floor=floor)
-    timed(lambda t, c: step(None, t, c), tok, name="full decode step (no lora)",
-          nbytes=w_bytes + kv_bytes, floor=floor)
+    timed(lambda p, cch, lo, t, c: step(p, cch, lo, t, c), params, cache, lora,
+          tok, name="full decode step (+lora)", nbytes=step_bytes, floor=floor)
+    timed(lambda p, cch, t, c: step(p, cch, None, t, c), params, cache,
+          tok, name="full decode step (no lora)", nbytes=w_bytes + kv_bytes,
+          floor=floor)
 
     # --- attention over the cache, all layers (no matmuls) ---
     kq = jax.random.PRNGKey(1)
     q = jax.random.normal(kq, (llm.n_layers, B, llm.n_heads, 1, llm.hd),
                           jnp.bfloat16)
 
-    def attn_all_layers(c):
+    def attn_all_layers(qq, cch, c):
         from icl_speech_text_llm_tpu.ops.attention import dot_product_attention
 
         def body(acc, xs):
@@ -131,17 +137,17 @@ def main():
             return acc + o.astype(jnp.float32).ravel()[0] * 1e-20, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0),
-                              (q, cache["k"], cache["v"]))
-        return acc
+                              (qq, cch["k"], cch["v"]))
+        return acc + c * 0
 
-    timed(lambda c: attn_all_layers(c) + c * 0, name="attention x32 (cache read)",
+    timed(attn_all_layers, q, cache, name="attention x32 (cache read)",
           nbytes=kv_bytes, floor=floor)
 
     # --- the vmapped per-sample KV cache write, all layers ---
     knew = jax.random.normal(kq, (llm.n_layers, B, llm.n_kv_heads, 1, llm.hd),
                              jnp.bfloat16)
 
-    def write_all_layers(c):
+    def write_all_layers(cch, kn, c):
         def wr(ck, kl, pos):
             return jax.lax.dynamic_update_slice(ck, kl.astype(ck.dtype),
                                                 (0, pos, 0))
@@ -151,16 +157,15 @@ def main():
             ck2 = jax.vmap(wr)(ck, kl + carry * 0, cache_positions)
             return carry + ck2.astype(jnp.float32).ravel()[0] * 1e-20, None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0), (cache["k"], knew))
-        return acc
+        acc, _ = jax.lax.scan(body, jnp.float32(0), (cch["k"], kn))
+        return acc + c * 0
 
-    timed(lambda c: write_all_layers(c) + c * 0, name="vmap KV write x32",
-          floor=floor)
+    timed(write_all_layers, cache, knew, name="vmap KV write x32", floor=floor)
 
     # --- weight matmuls only (the 7 per-layer projections, M=B) ---
     x4 = jax.random.normal(kq, (B, llm.dim), jnp.bfloat16)
 
-    def matmuls_all_layers(c):
+    def matmuls_all_layers(stack, c):
         from icl_speech_text_llm_tpu.ops.quant import dequant_matmul
 
         def body(acc, layer):
@@ -174,17 +179,19 @@ def main():
             d = dequant_matmul(jax.nn.silu(g) * u, m["w_down"])
             return acc + (y.ravel()[0] + d.ravel()[0]).astype(jnp.float32) * 1e-20, None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0), params["layers"])
-        return acc
+        acc, _ = jax.lax.scan(body, jnp.float32(0), stack)
+        return acc + c * 0
 
     layer_bytes = sum(x.nbytes for p in ("attn", "mlp")
                       for x in jax.tree_util.tree_leaves(params["layers"][p]))
-    timed(lambda c: matmuls_all_layers(c) + c * 0, name="7 weight matmuls x32",
+    timed(matmuls_all_layers, params["layers"], name="7 weight matmuls x32",
           nbytes=layer_bytes, floor=floor)
 
     # --- lm_head ---
     hid = jax.random.normal(kq, (B, 1, llm.dim), jnp.bfloat16)
-    timed(lambda c: lm_logits(llm, params, hid + c.astype(jnp.bfloat16) * 0)[:, 0],
+    timed(lambda head, h, c: (h + c.astype(jnp.bfloat16) * 0).reshape(B, llm.dim)
+          @ head["q"].astype(jnp.bfloat16) * head["s"].astype(jnp.bfloat16),
+          params["lm_head"], hid,
           name="lm_head", nbytes=params["lm_head"]["q"].nbytes, floor=floor)
 
 

@@ -1,11 +1,11 @@
 """Component-level profile of the SALMONN-7B prefill on the real chip.
 
 Round-2 attributed 230 ms of the 1.19 s batch-4 prefill to BEATs+Q-Former
-(~22% MFU) and ~190 ms to whisper attention, but those numbers were taken
-through a tunnel whose per-dispatch floor has since been measured at tens of
-ms — this script times every component INSIDE one jit (lax.scan with a data
-dependency, dispatch floor measured and subtracted) and prints a table with
-analytic-FLOPs MFU per component.
+(~22% MFU) and ~190 ms to whisper attention. This script times every
+component as its own jitted program, pipelined, with the measured
+per-dispatch floor subtracted (every component is ≥10 ms of device work, so
+the ~1 ms floor is noise), and prints a table with analytic-FLOPs MFU per
+component.
 
 Usage: python scripts/profile_prefill.py  [ITERS=20]
 """
@@ -31,39 +31,41 @@ N_CLIPS = B * (K_SHOTS + 1)
 
 
 def timed(fn, *args, name="", flops=0.0, floor=0.0, peak=197e12):
-    def body(c, _):
-        out = fn(*args, c)
-        return c + out.astype(jnp.float32).ravel()[:4].sum() * 1e-30, None
-
-    @jax.jit
-    def run(c0=jnp.float32(0)):
-        return jax.lax.scan(body, c0, None, length=ITERS)[0]
-
-    run().block_until_ready()
+    """Pipelined dispatch timing (bench.py style): every component here is
+    ≥10 ms of device work, so the ~1 ms per-dispatch floor (subtracted) is
+    noise — and unlike a lax.scan wrapper it adds no compile cost, which
+    dominated through the remote-compile tunnel (a scan-wrapped whisper
+    encoder sat >20 min in AOT compile)."""
+    jfn = jax.jit(lambda c, *a: fn(*a, c).astype(jnp.float32).ravel()[:4].sum())
+    np.asarray(jfn(jnp.float32(0), *args))  # compile + warm
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); run().block_until_ready()
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = jfn(jnp.float32(0), *args)
+        np.asarray(out)
         best = min(best, time.perf_counter() - t0)
-    dt = (best - floor) / ITERS
+    dt = best / ITERS - floor
     mfu = flops / dt / peak if flops else 0.0
     print(f"{name:38s} {dt*1e3:9.2f} ms   {flops/1e12:7.2f} TF   MFU {mfu*100:5.1f}%")
     return dt
 
 
 def measure_floor():
+    """Per-dispatch floor: a trivial jitted program, pipelined."""
     a = jnp.float32(1.0)
-
-    @jax.jit
-    def run(c0=jnp.float32(0)):
-        return jax.lax.scan(lambda c, _: (c + a * 1e-30, None), c0, None,
-                            length=ITERS)[0]
-
-    run().block_until_ready()
+    jfn = jax.jit(lambda c: a * 1e-30 + c)
+    np.asarray(jfn(jnp.float32(0)))
     best = 1e9
     for _ in range(3):
-        t0 = time.perf_counter(); run().block_until_ready()
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(ITERS):
+            out = jfn(jnp.float32(0))
+        np.asarray(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / ITERS
 
 
 def main():
@@ -97,7 +99,7 @@ def main():
 
     floor = measure_floor()
     peak = bench._chip_peak_flops(jax.devices()[0])
-    print(f"device {jax.devices()[0]}, floor {floor*1e3:.1f} ms/{ITERS} iters")
+    print(f"device {jax.devices()[0]}, dispatch floor {floor*1e3:.2f} ms/call")
 
     C = cfg.encode_chunk  # production encodes clips in chunks of this size
     wav = jnp.asarray(np.random.RandomState(0).randn(C, 16000 * 30)
@@ -117,27 +119,32 @@ def main():
           name=f"beats kaldi_fbank x{C}", floor=floor)
 
     # --- whisper encoder ---
+    # params are ARGUMENTS everywhere below: closure-captured weights become
+    # HLO constants and the remote-compile payload (weights included) made a
+    # single component compile take >20 min (same lesson as cli/serve.py)
     wf = bench.whisper_flops(cfg.whisper, C)
-    timed(lambda m, c: whisper_encode(cfg.whisper, pw, m + c.astype(m.dtype) * 0, dtype=jnp.bfloat16),
-          mel, name=f"whisper encoder x{C}", flops=wf, floor=floor, peak=peak)
+    timed(lambda p, m, c: whisper_encode(cfg.whisper, p, m + c.astype(m.dtype) * 0, dtype=jnp.bfloat16),
+          pw, mel, name=f"whisper encoder x{C}", flops=wf, floor=floor, peak=peak)
 
     # --- beats: frontend-only vs full ---
     bf_cfg = dataclasses.replace(cfg.beats, n_layers=0)
     pb0 = dict(pb, layers=jax.tree_util.tree_map(lambda x: x[:0], pb["layers"]))
-    timed(lambda f, c: beats_encode_fbank(bf_cfg, pb0, f + c.astype(f.dtype) * 0, dtype=jnp.bfloat16),
-          fbn, name=f"beats frontend x{C}", floor=floor)
+    timed(lambda p, f, c: beats_encode_fbank(bf_cfg, p, f + c.astype(f.dtype) * 0, dtype=jnp.bfloat16),
+          pb0, fbn, name=f"beats frontend x{C}", floor=floor)
     bfl = bench.beats_flops(cfg.beats, C)
-    timed(lambda f, c: beats_encode_fbank(cfg.beats, pb, f + c.astype(f.dtype) * 0, dtype=jnp.bfloat16),
-          fbn, name=f"beats full x{C}", flops=bfl, floor=floor, peak=peak)
+    timed(lambda p, f, c: beats_encode_fbank(cfg.beats, p, f + c.astype(f.dtype) * 0, dtype=jnp.bfloat16),
+          pb, fbn, name=f"beats full x{C}", flops=bfl, floor=floor, peak=peak)
 
     # --- qformer (input: concat whisper (C,1500,1280) + beats pad to 1500) ---
-    ws = whisper_encode(cfg.whisper, pw, mel, dtype=jnp.bfloat16)
-    bs = beats_encode_fbank(cfg.beats, pb, fbn, dtype=jnp.bfloat16)
+    ws = jax.jit(whisper_encode, static_argnums=(0,), static_argnames=("dtype",))(
+        cfg.whisper, pw, mel, dtype=jnp.bfloat16)
+    bs = jax.jit(beats_encode_fbank, static_argnums=(0,), static_argnames=("dtype",))(
+        cfg.beats, pb, fbn, dtype=jnp.bfloat16)
     bs = jnp.pad(bs, ((0, 0), (0, ws.shape[1] - bs.shape[1]), (0, 0)))
     feats = jnp.concatenate([ws, bs], axis=-1)
     qf = bench.qformer_flops(cfg.qformer, C)
-    timed(lambda f, c: qformer_windows(cfg.qformer, pq, f + c.astype(f.dtype) * 0),
-          feats, name=f"qformer x{C}", flops=qf, floor=floor, peak=peak)
+    timed(lambda p, f, c: qformer_windows(cfg.qformer, p, f + c.astype(f.dtype) * 0),
+          pq, feats, name=f"qformer x{C}", flops=qf, floor=floor, peak=peak)
 
     # --- decoder prefill (batch 4, seq 1024) ---
     L = 1024
@@ -148,15 +155,15 @@ def main():
     positions = jnp.broadcast_to(jnp.arange(L), (B, L))
     df = bench.decoder_flops(cfg.llm, B * L, L, B)
 
-    def dec(s, c):
-        h, _ = decoder_forward(cfg.llm, pl_, s + c.astype(s.dtype) * 0, mask,
-                               positions, lora=plo, lora_scaling=cfg.lora.scaling,
+    def dec(p, lo, s, c):
+        h, _ = decoder_forward(cfg.llm, p, s + c.astype(s.dtype) * 0, mask,
+                               positions, lora=lo, lora_scaling=cfg.lora.scaling,
                                flash_lengths=lengths)
         last = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)
-        return lm_logits(cfg.llm, pl_, last)[:, 0]
+        return lm_logits(cfg.llm, p, last)[:, 0]
 
-    timed(dec, seq, name=f"decoder prefill B{B} L{L}", flops=df, floor=floor,
-          peak=peak)
+    timed(dec, pl_, plo, seq, name=f"decoder prefill B{B} L{L}", flops=df,
+          floor=floor, peak=peak)
 
 
 if __name__ == "__main__":

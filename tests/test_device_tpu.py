@@ -83,6 +83,25 @@ r = x @ _dequant_int4(qt, jnp.bfloat16)
 d = float(np.abs(np.asarray(o, np.float32) - np.asarray(r, np.float32)).max())
 rel = d / (float(np.abs(np.asarray(r, np.float32)).max()) + 1e-9)
 print("INT4", rel)
+
+# --- 4) flash-decode kernel (single-position, GQA sublane packing) vs XLA ---
+from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention
+from icl_speech_text_llm_tpu.ops.attention import make_decode_mask
+from icl_speech_text_llm_tpu.models.llama import repeat_kv
+
+for tag, (H2, Hkv2) in (("MHA", (8, 8)), ("GQA7", (14, 2))):
+    kd = jax.random.split(jax.random.PRNGKey(4), 3)
+    S2, D2 = 1024, 128
+    qd = jax.random.normal(kd[0], (2, H2, 1, D2), jnp.bfloat16) * 0.3
+    kc = jax.random.normal(kd[1], (2, Hkv2, S2, D2), jnp.bfloat16) * 0.3
+    vc = jax.random.normal(kd[2], (2, Hkv2, S2, D2), jnp.bfloat16) * 0.3
+    lens = jnp.array([1000, 437], jnp.int32)
+    o = flash_decode_attention(qd, kc, vc, lens)
+    ref = dot_product_attention(
+        qd, repeat_kv(kc, H2 // Hkv2), repeat_kv(vc, H2 // Hkv2),
+        make_decode_mask(lens, S2))
+    d = float(np.abs(np.asarray(o, np.float32) - np.asarray(ref, np.float32)).max())
+    print("DECODE_" + tag, d)
 """
 
 
@@ -97,7 +116,8 @@ def device_results():
     out = {}
     for line in proc.stdout.splitlines():
         parts = line.split()
-        if parts and parts[0] in ("GATED_BIAS", "FLASH", "INT4"):
+        if parts and parts[0] in ("GATED_BIAS", "FLASH", "INT4",
+                                  "DECODE_MHA", "DECODE_GQA7"):
             out[parts[0]] = [float(p) for p in parts[1:]]
     return out
 
@@ -117,3 +137,11 @@ def test_flash_attention_on_device_matches_xla(device_results):
 def test_int4_matmul_on_device_matches_dequant(device_results):
     (rel,) = device_results["INT4"]
     assert rel < 0.05, rel
+
+
+def test_flash_decode_on_device_matches_xla(device_results):
+    """bf16 inputs through the real Mosaic lowering; bf16 resolution ~4e-3
+    on |out|<=0.3-scale values, padded rows/tiles must not leak."""
+    (d_mha,) = device_results["DECODE_MHA"]
+    (d_gqa,) = device_results["DECODE_GQA7"]
+    assert d_mha < 8e-3 and d_gqa < 8e-3, (d_mha, d_gqa)

@@ -232,3 +232,124 @@ def test_beats_gated_rel_pos_flash_matches_fallback(monkeypatch):
     out = np.asarray(beats_encode(dataclasses.replace(cfg, use_flash=True), params, wav))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# flash_decode_attention (single-position decode over the KV cache)
+# ---------------------------------------------------------------------------
+
+
+def _decode_case(B=2, H=4, Hkv=None, S=256, D=128, seed=0):
+    from icl_speech_text_llm_tpu.models.llama import repeat_kv
+    from icl_speech_text_llm_tpu.ops.attention import (
+        dot_product_attention,
+        make_decode_mask,
+    )
+
+    Hkv = H if Hkv is None else Hkv
+    kq, kk, kv, _ = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(kq, (B, H, 1, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Hkv, S, D), jnp.float32)
+    lengths = jnp.asarray([S - 3, S // 2][:B] + [S // 3] * max(0, B - 2), jnp.int32)
+    mask = make_decode_mask(lengths, S)
+    oracle = dot_product_attention(
+        q, repeat_kv(k, H // Hkv), repeat_kv(v, H // Hkv), mask)
+    return q, k, v, lengths, oracle
+
+
+def test_decode_kernel_matches_oracle():
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention
+
+    q, k, v, lengths, oracle = _decode_case()
+    out = flash_decode_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_gqa_heads():
+    """GQA: query head h reads cache head h // n_rep (no repeat_kv)."""
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention
+
+    q, k, v, lengths, oracle = _decode_case(B=2, H=8, Hkv=2, S=384, seed=1)
+    out = flash_decode_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_gqa_qwen_group_size():
+    """r=7 (Qwen2-7B's H/Hkv) exercises odd-r sublane packing + padding."""
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention
+
+    q, k, v, lengths, oracle = _decode_case(B=2, H=14, Hkv=2, S=256, seed=3)
+    out = flash_decode_attention(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_multiple_kv_tiles_and_short_lengths():
+    """Tiles fully past a sample's length are skipped; result still exact."""
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention
+
+    q, k, v, lengths, oracle = _decode_case(B=3, H=2, S=1024, seed=2)
+    out = flash_decode_attention(q, k, v, lengths, block_k=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_usability_gate(monkeypatch):
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_usable
+
+    assert not flash_decode_usable((2, 4, 1, 128), (2, 4, 256, 128))  # cpu
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert flash_decode_usable((2, 4, 1, 128), (2, 4, 256, 128))
+    assert flash_decode_usable((2, 8, 1, 128), (2, 2, 256, 128))  # gqa
+    assert not flash_decode_usable((2, 4, 2, 128), (2, 4, 256, 128))  # Tq=2
+    assert not flash_decode_usable((2, 4, 1, 64), (2, 4, 256, 64))  # D=64
+    assert not flash_decode_usable((2, 4, 1, 128), (2, 4, 250, 128))  # ragged S
+    assert not flash_decode_usable((2, 3, 1, 128), (2, 2, 256, 128))  # H % Hkv
+    assert not flash_decode_usable((2, 16, 1, 128), (2, 1, 256, 128))  # r > 8
+
+
+def test_decode_kernel_in_layer_forward(monkeypatch):
+    """decoder_forward's decode step routes through the kernel when usable
+    and produces the same hidden states as the XLA mask path."""
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        init_decoder,
+        init_kv_cache,
+    )
+    from icl_speech_text_llm_tpu.ops.attention import make_decode_mask
+
+    cfg = DECODER_CONFIGS["tiny"]
+    # the tiny preset's hd is small; build a config whose hd qualifies
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, n_heads=2, n_kv_heads=2, head_dim=128)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 256
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.float32)
+    cur_len = jnp.asarray([100, 40], jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, cfg.dim), jnp.float32)
+    mask = make_decode_mask(cur_len + 1, S)
+
+    out_xla, _ = decoder_forward(cfg, params, x, mask, cur_len[:, None],
+                                 cache=cache, cache_positions=cur_len)
+
+    import icl_speech_text_llm_tpu.ops.flash_attention as fa
+
+    calls = {}
+    real = fa.flash_decode_attention
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fa, "flash_decode_attention", spy)
+    monkeypatch.setattr(fa, "flash_decode_usable", lambda *a: True)
+    out_kernel, _ = decoder_forward(cfg, params, x, mask, cur_len[:, None],
+                                    cache=cache, cache_positions=cur_len)
+    assert calls.get("hit")
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-4)
