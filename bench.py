@@ -34,6 +34,9 @@ import numpy as np
 K_SHOTS = 5
 BATCH = 4
 ROUNDS = 5
+# BENCH_KV_INT8=1 → real-scale blocks decode with the int8 KV cache
+# (flash_decode_attention_q8): halves the decode-phase KV read
+_KV_INT8 = bool(os.environ.get("BENCH_KV_INT8"))
 
 # bf16 peak FLOPs/s per chip (MXU): v5e = 197 TF. Override: BENCH_PEAK_TFLOPS.
 PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0}
@@ -287,7 +290,7 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     seq_len, text_len = 1024, 448
     dev = build_batch(tok, cfg, B, K_SHOTS, 30, seq_len, text_len)
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
-                           pad_token_id=tok.pad_token_id)
+                           pad_token_id=tok.pad_token_id, kv_int8=_KV_INT8)
 
     full = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
 
@@ -436,7 +439,7 @@ def bench_qwen2_audio_7b_speech_fs(jax, tok):
         "audio_lengths": jnp.asarray(batch_h.audio["audio_lengths"]),
     }
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
-                           pad_token_id=tok.pad_token_id)
+                           pad_token_id=tok.pad_token_id, kv_int8=_KV_INT8)
     fn = jax.jit(lambda p, b: qwen_audio_generate(cfg, gen, p, b))
     p50, per_call = _timed(fn, params, dev, rounds=3, pipeline=5)
 
@@ -490,7 +493,7 @@ def bench_serving(jax, tok):
 
     # --- static engine: one fused generate program, pipelined ---
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
-                           pad_token_id=tok.pad_token_id)
+                           pad_token_id=tok.pad_token_id, kv_int8=_KV_INT8)
     static_fn = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
     _, per_static = _timed(static_fn, params, batches[0], rounds=3, pipeline=8)
     static_utt_s = B / per_static
@@ -710,7 +713,7 @@ def bench_qwen2_audio_7b(jax, tok):
     dev = build_batch(tok, cfg, B, K_SHOTS, 30, seq_len, text_len,
                       fewshot_mode="text")
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_id=tok.eos_token_id,
-                           pad_token_id=tok.pad_token_id)
+                           pad_token_id=tok.pad_token_id, kv_int8=_KV_INT8)
     fn = jax.jit(lambda p, b: qwen_audio_generate(cfg, gen, p, b))
     p50, per_call = _timed(fn, params, dev, rounds=3, pipeline=5)
 

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--repetition_penalty", type=float, default=1.0)
     p.add_argument("--length_penalty", type=float, default=1.0)
     p.add_argument("--min_new_tokens", "--min_length", type=int, default=0)
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV cache: halves decode-phase KV HBM reads "
+                        "(dequant fused into the flash-decode kernel)")
     p.add_argument("--randomize_swap", action="store_true")
     # packing budget (TPU-native additions)
     p.add_argument("--seq_len", type=int, default=2048)
@@ -87,6 +90,7 @@ def main(argv=None):
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         num_beams=args.num_beams, repetition_penalty=args.repetition_penalty,
         length_penalty=args.length_penalty, min_new_tokens=args.min_new_tokens,
+        kv_int8=args.kv_int8,
     )
     n_slots = {
         "speech": args.num_examples + 1,

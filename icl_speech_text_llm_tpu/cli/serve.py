@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weight-only group-128 int4 LLM decode (quarters "
                         "weight HBM reads; fits Vicuna-13B + encoders + KV "
                         "on a single 16 GB v5e chip)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV cache (+per-position scales): halves the "
+                        "decode-phase KV read and the pooled cache's HBM "
+                        "footprint; dequant fuses into the flash-decode kernel")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -108,6 +112,7 @@ def main(argv=None):
         prompt_buckets=buckets, sync_every=args.sync_every,
         admit_batch=args.admit_batch,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+        kv_int8=args.kv_int8,
     )
     llm_params = model.params["llm"]
     if args.quantize_int8 or args.quantize_int4:

@@ -96,7 +96,7 @@ def beam_decode_from_sequence(
     temp = gen.temperature if sample else 1.0
 
     # ---- prefill on B rows (beams share the prompt) ----
-    cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt)
+    cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt, quant=gen.kv_int8)
     prefill_mask = jnp.concatenate(
         [make_prefill_mask(lengths, L), jnp.zeros((B, 1, L, cache_len - L), bool)], axis=-1
     )
@@ -110,10 +110,12 @@ def beam_decode_from_sequence(
     first_logits = lm_logits(llm_cfg, llm_params, last_hidden)[:, 0].astype(jnp.float32)
 
     # expand cache to B*K rows (beam-major within each sample)
-    def expand(c):  # (layers, B, H, T, hd) → (layers, B*K, H, T, hd)
-        lyr, _, H, T, hd = c.shape
-        return jnp.broadcast_to(c[:, :, None], (lyr, B, K, H, T, hd)).reshape(
-            lyr, B * K, H, T, hd)
+    def expand(c):  # (layers, B, *rest) → (layers, B*K, *rest); rank-generic
+        # so int8-KV scale leaves (layers, B, H, T) expand alongside k/v
+        rest = c.shape[2:]
+        return jnp.broadcast_to(
+            c[:, :, None], (c.shape[0], B, K) + rest
+        ).reshape(c.shape[0], B * K, *rest)
 
     cache = {k: expand(v) for k, v in cache.items()}
 

@@ -53,6 +53,9 @@ class GenerationConfig:
     repetition_penalty: float = 1.0
     length_penalty: float = 1.0
     min_new_tokens: int = 0  # the reference's min_length (empty input_ids)
+    # TPU-serving addition (no reference equivalent): int8 KV cache — halves
+    # the decode-phase KV read, dequant fused into the flash-decode kernel
+    kv_int8: bool = False
 
     @property
     def needs_history(self) -> bool:
@@ -110,7 +113,7 @@ def decode_from_sequence(
     # (ops/flash_attention.flash_decode_attention); the surplus positions sit
     # beyond every per-sample length and are never attended or written
     cache_len = -(-(L + gen.max_new_tokens) // 128) * 128
-    cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt)
+    cache = init_kv_cache(llm_cfg, B, cache_len, dtype=dt, quant=gen.kv_int8)
     prefill_mask = jnp.concatenate(
         [make_prefill_mask(lengths, L), jnp.zeros((B, 1, L, cache_len - L), bool)], axis=-1
     )

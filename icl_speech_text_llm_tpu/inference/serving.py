@@ -70,6 +70,10 @@ class ServingConfig:
     # bounds replay-log memory and the lanes wasted when early EOS would
     # have freed slots sooner in long-max_new configs.
     max_pending_blocks: int = 16
+    # int8 KV cache (+ per-position scales): halves the pooled cache's HBM
+    # footprint AND the decode-phase KV read; dequant fuses into the
+    # flash-decode kernel. TPU-serving addition, no reference equivalent.
+    kv_int8: bool = False
 
     @property
     def cache_len(self) -> int:
@@ -110,8 +114,8 @@ def _sample_next(logits, temps, rng):
     return jnp.where(temps > 0, sampled, greedy)
 
 
-def _prefill_kernel(llm_cfg, scfg, params, cache, seqs, lengths, slots, temps,
-                    rng, lora, lora_scaling):
+def _prefill_kernel(llm_cfg, scfg, dtype, params, cache, seqs, lengths, slots,
+                    temps, rng, lora, lora_scaling):
     """Batched prefill at bucket length L; KV blocks land in slots ``slots``.
 
     ``seqs`` (n, L, D) — n waiting requests admitted together (one MXU-friendly
@@ -120,7 +124,7 @@ def _prefill_kernel(llm_cfg, scfg, params, cache, seqs, lengths, slots, temps,
     first generated token per row).
     """
     n, L, _ = seqs.shape
-    local = init_kv_cache(llm_cfg, n, L, dtype=cache["k"].dtype)
+    local = init_kv_cache(llm_cfg, n, L, dtype=dtype, quant="k_s" in cache)
     mask = make_prefill_mask(lengths, L)
     hidden, local = decoder_forward(
         llm_cfg, params, seqs, mask, jnp.broadcast_to(jnp.arange(L), (n, L)),
@@ -132,22 +136,24 @@ def _prefill_kernel(llm_cfg, scfg, params, cache, seqs, lengths, slots, temps,
 
     zero = jnp.int32(0)
     for j in range(n):  # n is static and small (admit_sizes)
+        # rank-generic over the cache tree: k/v are (layers, pool, Hkv, S, hd),
+        # int8-KV scale leaves are (layers, pool, Hkv, S)
         cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], local["k"][:, j:j + 1], (zero, slots[j], zero, zero, zero)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], local["v"][:, j:j + 1], (zero, slots[j], zero, zero, zero)),
+            key: jax.lax.dynamic_update_slice(
+                cache[key], local[key][:, j:j + 1],
+                (zero, slots[j]) + (zero,) * (cache[key].ndim - 2))
+            for key in cache
         }
     return cache, first_toks
 
 
-def _decode_kernel(llm_cfg, scfg, n_inner, params, cache, tok, cur_len, done,
-                   temps, rng, lora, lora_scaling):
+def _decode_kernel(llm_cfg, scfg, n_inner, dtype, params, cache, tok, cur_len,
+                   done, temps, rng, lora, lora_scaling):
     """``n_inner`` fused decode steps for every slot (one host round-trip).
 
     Inactive slots ride along masked to pad. Returns the emitted token block
     (n_inner, S) so the host scheduler syncs once per block, not per token."""
-    dt = cache["k"].dtype
+    dt = dtype
 
     def body(carry, step_rng):
         cache, tok, cur_len, done = carry
@@ -198,7 +204,9 @@ class ContinuousBatchingEngine:
         self._scratch = S  # extra pool row that absorbs admission padding
         self._rng = jax.random.PRNGKey(seed)
         self._temps = jnp.zeros((S + 1,), jnp.float32)
-        self._cache = init_kv_cache(llm_cfg, S + 1, cfg.cache_len, dtype=dtype)
+        self._dtype = dtype
+        self._cache = init_kv_cache(llm_cfg, S + 1, cfg.cache_len, dtype=dtype,
+                                    quant=cfg.kv_int8)
         self._tok = jnp.zeros((S + 1,), jnp.int32)
         self._cur_len = jnp.zeros((S + 1,), jnp.int32)
         self._done = jnp.ones((S + 1,), bool)  # empty slots ride along as done
@@ -234,7 +242,8 @@ class ContinuousBatchingEngine:
         # costs 20-40 s / ~90 ms on the tunneled chip.
         self._n_inner = max(1, cfg.sync_every)
         self._decode = jax.jit(
-            partial(_decode_kernel, self.llm_cfg, self.cfg, self._n_inner),
+            partial(_decode_kernel, self.llm_cfg, self.cfg, self._n_inner,
+                    self._dtype),
             donate_argnums=(1,),
         )
 
@@ -398,7 +407,7 @@ class ContinuousBatchingEngine:
         self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
         if key not in self._prefill:
             self._prefill[key] = jax.jit(
-                partial(_prefill_kernel, self.llm_cfg, self.cfg),
+                partial(_prefill_kernel, self.llm_cfg, self.cfg, self._dtype),
                 donate_argnums=(1,),
             )
         self._rng, admit_rng = jax.random.split(self._rng)

@@ -296,12 +296,25 @@ def _layer_forward(
     k = apply_rope(k, positions, inv_freq)
 
     new_cache_kv = None
+    kv_scales = None  # (k_s, v_s) when the cache is int8-quantized
     if cache_kv is not None:
-        ck, cv = cache_kv
+        quant = len(cache_kv) == 4
+        if quant:
+            from ..ops.quant import quantize_kv
+
+            ck, cv, cks, cvs = cache_kv
+            k_st, k_sc = quantize_kv(k)  # (B,Hkv,T,hd) int8 + (B,Hkv,T) f32
+            v_st, v_sc = quantize_kv(v)
+        else:
+            ck, cv = cache_kv
+            k_st, v_st = k, v
         if cache_positions is None:
             # prefill: write [0:T) for every sample
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+            ck = jax.lax.dynamic_update_slice(ck, k_st.astype(ck.dtype), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_st.astype(cv.dtype), (0, 0, 0, 0))
+            if quant:
+                cks = jax.lax.dynamic_update_slice(cks, k_sc, (0, 0, 0))
+                cvs = jax.lax.dynamic_update_slice(cvs, v_sc, (0, 0, 0))
         else:
             # decode: per-sample write position (right-padded prompts differ
             # in length, so each sample appends at its own index)
@@ -309,9 +322,20 @@ def _layer_forward(
                 # c: (Hkv, T_cache, hd); kv: (Hkv, T, hd)
                 return jax.lax.dynamic_update_slice(c, kv.astype(c.dtype), (0, pos, 0))
 
-            ck = jax.vmap(write)(ck, k, cache_positions)
-            cv = jax.vmap(write)(cv, v, cache_positions)
-        new_cache_kv = (ck, cv)
+            def write_s(c, s, pos):
+                # c: (Hkv, T_cache); s: (Hkv, T)
+                return jax.lax.dynamic_update_slice(c, s, (0, pos))
+
+            ck = jax.vmap(write)(ck, k_st, cache_positions)
+            cv = jax.vmap(write)(cv, v_st, cache_positions)
+            if quant:
+                cks = jax.vmap(write_s)(cks, k_sc, cache_positions)
+                cvs = jax.vmap(write_s)(cvs, v_sc, cache_positions)
+        if quant:
+            new_cache_kv = (ck, cv, cks, cvs)
+            kv_scales = (cks, cvs)
+        else:
+            new_cache_kv = (ck, cv)
         k_att, v_att = ck, cv
     else:
         k_att, v_att = k, v
@@ -351,16 +375,29 @@ def _layer_forward(
             causal=True,
         )
     else:
-        from ..ops.flash_attention import flash_decode_attention, flash_decode_usable
+        from ..ops.flash_attention import (
+            flash_decode_attention,
+            flash_decode_attention_q8,
+            flash_decode_usable,
+        )
 
         if (cache_positions is not None and T == 1
                 and flash_decode_usable(q.shape, k_att.shape)):
             # single-token decode: stream the cache through the Pallas
             # decode kernel at HBM rate (XLA's M=1 contraction lowering runs
-            # far below the roofline) — GQA handled by index map, so the
-            # cache is never repeat_kv-materialized
-            out = flash_decode_attention(q, k_att, v_att, cache_positions + 1)
+            # far below the roofline) — GQA handled by sublane packing, so
+            # the cache is read once and never repeat_kv-materialized
+            if kv_scales is not None:
+                out = flash_decode_attention_q8(
+                    q, k_att, v_att, kv_scales[0], kv_scales[1],
+                    cache_positions + 1)
+            else:
+                out = flash_decode_attention(q, k_att, v_att, cache_positions + 1)
         else:
+            if kv_scales is not None:
+                # XLA fallback: materialize the dequantized cache
+                k_att = k_att.astype(q.dtype) * kv_scales[0][..., None].astype(q.dtype)
+                v_att = v_att.astype(q.dtype) * kv_scales[1][..., None].astype(q.dtype)
             k_att = repeat_kv(k_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
             v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
             out = dot_product_attention(q, k_att, v_att, mask)
@@ -375,10 +412,21 @@ def _layer_forward(
 
 
 def init_kv_cache(
-    cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+    quant: bool = False,
 ) -> Dict[str, jnp.ndarray]:
+    """KV cache tree. ``quant=True`` stores int8 KV + per-position f32 scales
+    ({"k","v"} int8, {"k_s","v_s"} (L,B,Hkv,S)) — halves the decode-phase KV
+    read and doubles slot capacity; dequant folds into the flash-decode
+    kernel (ops/flash_attention.flash_decode_attention_q8)."""
     hd = cfg.hd
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, hd)
+    if quant:
+        return {
+            "k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+            "k_s": jnp.zeros(shape[:-1], jnp.float32),
+            "v_s": jnp.zeros(shape[:-1], jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -456,10 +504,16 @@ def decoder_forward(
     # Every scanned input needs a leading n_layers axis; absent subtrees get a
     # dummy so the scan signature stays uniform.
     dummy = jnp.zeros((cfg.n_layers, 1))
+    kv_quant = use_cache and "k_s" in cache
+    if use_cache:
+        cache_leaves = (
+            (cache["k"], cache["v"], cache["k_s"], cache["v_s"])
+            if kv_quant else (cache["k"], cache["v"])
+        )
     scanned = (
         params["layers"],
         lora if use_lora else dummy,
-        (cache["k"], cache["v"]) if use_cache else dummy,
+        cache_leaves if use_cache else dummy,
     )
 
     ring_fwd = ring if not use_cache else None
@@ -486,7 +540,11 @@ def decoder_forward(
     x, new_kvs = jax.lax.scan(scan_body, x, scanned)
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
 
-    new_cache = {"k": new_kvs[0], "v": new_kvs[1]} if use_cache else None
+    new_cache = None
+    if use_cache:
+        new_cache = {"k": new_kvs[0], "v": new_kvs[1]}
+        if kv_quant:
+            new_cache["k_s"], new_cache["v_s"] = new_kvs[2], new_kvs[3]
     return x, new_cache
 
 

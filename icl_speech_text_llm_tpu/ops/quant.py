@@ -33,6 +33,23 @@ def quantize_tensor(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "s": s}
 
 
+def quantize_kv(kv: jnp.ndarray):
+    """int8 KV-cache quantization: (…, D) → (int8 (…, D), f32 scale (…)).
+
+    Symmetric per-vector (one scale per cached position per KV head, amax
+    over the head dim): the decode-attention stream is HBM-bound, so int8
+    halves the dominant KV read AND doubles serving slot capacity. Scales
+    fold into the flash-decode kernel as column scalings of the scores (k)
+    and of the softmax probs (v) — dequant linearity, no (S, D) multiply.
+    All-zero rows (cache padding) get scale 0 so they dequantize to 0.
+    """
+    kv = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(kv / jnp.where(scale == 0.0, 1.0, scale)[..., None])
+    return q.astype(jnp.int8), scale
+
+
 def quantize_tensor_int4(w: jnp.ndarray, group: int = 128) -> Dict[str, jnp.ndarray]:
     """(…, in, out) → {"q4": uint8 (…, in/2, out), "s": f32 (…, in/group, out)}.
 

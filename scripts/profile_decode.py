@@ -88,10 +88,13 @@ def main():
     floor = measure_floor()
     print(f"device {jax.devices()[0]}, dispatch floor {floor*1e3:.2f} ms/call")
 
-    cache = init_kv_cache(llm, B, KV + 8)
+    # 128-aligned cache like production (inference/engine.py): the Pallas
+    # flash-decode kernel engages inside the full step
+    S_al = -(-(KV + 8) // 128) * 128
+    cache = init_kv_cache(llm, B, S_al)
     cache_positions = jnp.full((B,), KV, jnp.int32)
     tok = jnp.ones((B,), jnp.int32)
-    mask = make_decode_mask(cache_positions + 1, KV + 8)
+    mask = make_decode_mask(cache_positions + 1, S_al)
     positions = cache_positions[:, None]
 
     # params/cache/lora are ARGUMENTS everywhere below: closure-captured
@@ -121,6 +124,10 @@ def main():
     timed(lambda p, cch, t, c: step(p, cch, None, t, c), params, cache,
           tok, name="full decode step (no lora)", nbytes=w_bytes + kv_bytes,
           floor=floor)
+    cache_q8_full = init_kv_cache(llm, B, S_al, quant=True)
+    timed(lambda p, cch, lo, t, c: step(p, cch, lo, t, c), params,
+          cache_q8_full, lora, tok, name="full decode step (+lora, int8 KV)",
+          nbytes=w_bytes + lora_bytes + kv_bytes // 2, floor=floor)
 
     # --- attention over the cache, all layers (no matmuls) ---
     kq = jax.random.PRNGKey(1)
@@ -140,8 +147,50 @@ def main():
                               (qq, cch["k"], cch["v"]))
         return acc + c * 0
 
-    timed(attn_all_layers, q, cache, name="attention x32 (cache read)",
+    timed(attn_all_layers, q, cache, name="attention x32 (XLA path)",
           nbytes=kv_bytes, floor=floor)
+
+    # --- the Pallas flash-decode kernel at the same shapes ---
+    lengths = cache_positions + 1
+
+    def flash_all_layers(qq, cch, c):
+        from icl_speech_text_llm_tpu.ops.flash_attention import (
+            flash_decode_attention,
+        )
+
+        def body(acc, xs):
+            ql, ck, cv = xs
+            o = flash_decode_attention(ql + acc.astype(ql.dtype) * 0, ck, cv,
+                                       lengths)
+            return acc + o.astype(jnp.float32).ravel()[0] * 1e-20, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), (qq, cch["k"], cch["v"]))
+        return acc + c * 0
+
+    timed(flash_all_layers, q, cache, name="flash-decode kernel x32",
+          nbytes=kv_bytes, floor=floor)
+
+    # --- the int8-KV variant (halved KV bytes) ---
+    cache_q8 = init_kv_cache(llm, B, S_al, quant=True)
+
+    def flash_q8_all_layers(qq, cch, c):
+        from icl_speech_text_llm_tpu.ops.flash_attention import (
+            flash_decode_attention_q8,
+        )
+
+        def body(acc, xs):
+            ql, ck, cv, cks, cvs = xs
+            o = flash_decode_attention_q8(ql + acc.astype(ql.dtype) * 0,
+                                          ck, cv, cks, cvs, lengths)
+            return acc + o.astype(jnp.float32).ravel()[0] * 1e-20, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0),
+            (qq, cch["k"], cch["v"], cch["k_s"], cch["v_s"]))
+        return acc + c * 0
+
+    timed(flash_q8_all_layers, q, cache_q8, name="flash-decode int8-KV x32",
+          nbytes=kv_bytes // 2, floor=floor)
 
     # --- the vmapped per-sample KV cache write, all layers ---
     knew = jax.random.normal(kq, (llm.n_layers, B, llm.n_kv_heads, 1, llm.hd),

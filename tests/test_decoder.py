@@ -129,3 +129,36 @@ def test_padding_invariance(setup):
     np.testing.assert_allclose(
         np.asarray(h_pad[0, :11]), np.asarray(s["hidden"][1, :11]), rtol=2e-4, atol=2e-5
     )
+
+
+def test_kv_int8_decode_close_to_bf16_and_plumbing(setup):
+    """int8-KV decode step tracks the exact-cache step (per-position scales,
+    ~0.4% quantization error) and the quantized cache tree round-trips
+    through prefill + decode with scale leaves updated in place."""
+    s = setup
+    T_max = 32
+    mask = jnp.concatenate(
+        [s["mask"], jnp.zeros((s["B"], 1, s["S"], T_max - s["S"]), bool)], axis=-1
+    )
+    next_tok = jax.random.normal(jax.random.PRNGKey(2), (s["B"], 1, CFG.dim)) * 0.02
+
+    outs = {}
+    for quant in (False, True):
+        cache = init_kv_cache(CFG, s["B"], T_max, dtype=jnp.float32, quant=quant)
+        _, cache = decoder_forward(CFG, s["params"], s["embeds"], mask,
+                                   s["positions"], cache=cache)
+        if quant:
+            assert cache["k"].dtype == jnp.int8
+            # prefill wrote scales for every valid position of sample 0
+            assert float(cache["k_s"][0, 0, :, : s["S"]].min()) > 0.0
+            assert float(cache["k_s"][0, 0, :, s["S"]:].max()) == 0.0
+        h, cache2 = decoder_forward(
+            CFG, s["params"], next_tok, make_decode_mask(s["lengths"] + 1, T_max),
+            s["lengths"][:, None], cache=cache, cache_positions=s["lengths"],
+        )
+        if quant:
+            # the decode step appended a scale at each sample's own length
+            assert float(cache2["k_s"][0, 1, :, 11].min()) > 0.0
+        outs[quant] = np.asarray(h[:, 0])
+    scale = np.abs(outs[False]).max()
+    assert np.abs(outs[True] - outs[False]).max() < 0.02 * scale

@@ -297,6 +297,35 @@ def test_decode_kernel_multiple_kv_tiles_and_short_lengths():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_decode_kernel_q8_matches_dequant_oracle():
+    """int8-KV kernel == XLA attention over the explicitly dequantized cache
+    (same values, so the only delta is the kernel's own arithmetic)."""
+    from icl_speech_text_llm_tpu.models.llama import repeat_kv
+    from icl_speech_text_llm_tpu.ops.attention import (
+        dot_product_attention,
+        make_decode_mask,
+    )
+    from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention_q8
+    from icl_speech_text_llm_tpu.ops.quant import quantize_kv
+
+    B, H, Hkv, S, D = 2, 6, 2, 512, 128
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (B, H, 1, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Hkv, S, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Hkv, S, D), jnp.float32)
+    lengths = jnp.asarray([S - 5, S // 3], jnp.int32)
+    k8, ks = quantize_kv(k)
+    v8, vs = quantize_kv(v)
+    out = flash_decode_attention_q8(q, k8, v8, ks, vs, lengths, block_k=256)
+    kd = k8.astype(jnp.float32) * ks[..., None]
+    vd = v8.astype(jnp.float32) * vs[..., None]
+    oracle = dot_product_attention(
+        q, repeat_kv(kd, H // Hkv), repeat_kv(vd, H // Hkv),
+        make_decode_mask(lengths, S))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_decode_usability_gate(monkeypatch):
     from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_usable
 

@@ -205,3 +205,18 @@ def test_int8_quality_on_trained_weights():
     preds_int4 = predictions(toks_int4)
     acc_int4 = np.mean([w in p for w, p in zip(want, preds_int4)])
     assert acc_full == acc_int4, (preds_full, preds_int4)
+
+
+def test_quantize_kv_roundtrip_and_zero_rows():
+    from icl_speech_text_llm_tpu.ops.quant import quantize_kv
+
+    kv = jax.random.normal(jax.random.PRNGKey(5), (3, 2, 17, 64), jnp.float32)
+    kv = kv.at[0, 0, 3].set(0.0)  # an all-zero (padding) row
+    q8, s = quantize_kv(kv)
+    assert q8.dtype == jnp.int8 and s.shape == (3, 2, 17)
+    deq = q8.astype(jnp.float32) * s[..., None]
+    # symmetric rounding: |err| <= scale/2 per element
+    err = np.abs(np.asarray(deq - kv))
+    bound = np.asarray(s)[..., None] / 2 + 1e-9
+    assert (err <= bound).all()
+    assert float(s[0, 0, 3]) == 0.0 and float(np.abs(deq[0, 0, 3]).max()) == 0.0

@@ -199,3 +199,31 @@ def test_per_request_budget_validation(llm):
         eng.submit(emb, length, max_new_tokens=MAX_NEW + 1)
     with pytest.raises(ValueError):
         eng.submit(emb, length, max_new_tokens=0)
+
+
+def test_kv_int8_serving_matches_kv_int8_oracle(llm):
+    """int8-KV slot pool == int8-KV static decode, token-exact: quantization
+    is per (position, head), so pool slot placement and bucket padding must
+    not change any dequantized value the attention sees."""
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=3, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16, 32), eos_token_id=EOS,
+                         kv_int8=True)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    reqs = _requests(cfg, 5, seed=3)
+    rids = [eng.submit(emb, length) for emb, length in reqs]
+    results = eng.run()
+    gen = GenerationConfig(max_new_tokens=MAX_NEW, eos_token_id=EOS,
+                           pad_token_id=0, kv_int8=True)
+    for rid, (emb, length) in zip(rids, reqs):
+        L = 32
+        padded = np.zeros((1, L, cfg.dim), np.float32)
+        padded[0, :length] = emb
+        toks = np.asarray(decode_from_sequence(
+            cfg, params, jnp.asarray(padded), jnp.asarray([length]), gen))[0]
+        want = []
+        for t in toks:
+            if t == EOS:
+                break
+            want.append(int(t))
+        assert results[rid] == want, f"request {rid}"
