@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (+per-position scales): halves the "
                         "decode-phase KV read and the pooled cache's HBM "
                         "footprint; dequant fuses into the flash-decode kernel")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="serving mesh 'dp,fsdp,tp' (sizes must multiply to "
+                        "the device count): tp-sharded decode over the pod — "
+                        "params megatron-sharded, pooled KV sharded by head")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -114,16 +118,26 @@ def main(argv=None):
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         kv_int8=args.kv_int8,
     )
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+        from ..parallel.sharding import shard_params
+
+        dp, fsdp, tp = ([int(x) for x in args.mesh.split(",")] + [1, 1])[:3]
+        mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+        model.params = shard_params(model.params, mesh)
     llm_params = model.params["llm"]
     if args.quantize_int8 or args.quantize_int4:
         from ..ops.quant import quantize_decoder
 
+        # on a sharded tree the scales/int8 outputs inherit the sharding
         llm_params = quantize_decoder(
             llm_params, bits=4 if args.quantize_int4 else 8)
     engine = ContinuousBatchingEngine(
         model.cfg.llm, llm_params, scfg,
         lora=model.params.get("lora"),
         lora_scaling=model.cfg.lora.scaling if model.cfg.lora is not None else 1.0,
+        mesh=mesh,
     )
     embed = qwen_prompt_embeddings if is_qwen else salmonn_prompt_embeddings
     # params must be an ARGUMENT, not a closure constant — baked-in weights

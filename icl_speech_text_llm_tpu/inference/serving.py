@@ -197,6 +197,7 @@ class ContinuousBatchingEngine:
         lora_scaling: float = 1.0,
         dtype=jnp.float32,
         seed: int = 0,
+        mesh=None,  # jax.sharding.Mesh → tp-sharded serving (13B+ on pods)
     ):
         self.llm_cfg, self.params, self.cfg = llm_cfg, params, cfg
         self.lora, self.lora_scaling = lora, lora_scaling
@@ -207,6 +208,23 @@ class ContinuousBatchingEngine:
         self._dtype = dtype
         self._cache = init_kv_cache(llm_cfg, S + 1, cfg.cache_len, dtype=dtype,
                                     quant=cfg.kv_int8)
+        if mesh is not None:
+            # Megatron-convention pooled cache: KV heads follow the
+            # column-parallel wk/wv output sharding, so the pool lives
+            # tp-sharded next to the weights that produce it and decode
+            # attention runs collective-free per shard (GSPMD propagates;
+            # pass tp-sharded params — parallel/sharding.shard_params).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import TP_AXIS
+
+            def _placed(x):
+                # k/v (L, pool, Hkv, S, hd) / scales (L, pool, Hkv, S):
+                # shard axis 2 (KV heads) over tp, replicate the rest
+                spec = [None, None, TP_AXIS] + [None] * (x.ndim - 3)
+                return jax.device_put(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+            self._cache = {k: _placed(v) for k, v in self._cache.items()}
         self._tok = jnp.zeros((S + 1,), jnp.int32)
         self._cur_len = jnp.zeros((S + 1,), jnp.int32)
         self._done = jnp.ones((S + 1,), bool)  # empty slots ride along as done

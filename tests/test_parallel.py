@@ -162,3 +162,34 @@ def test_train_step_hlo_collective_budget(cpu_devices):
     # multiply collectives per layer)
     total = sum(counts.values())
     assert total <= 120, f"collective blow-up: {counts} (total {total})"
+
+
+def test_sharded_serving_matches_unsharded(cpu_devices):
+    """The continuous-batching slot pool under GSPMD (tp-sharded params +
+    KV-head-sharded pooled cache) emits token-for-token what the unsharded
+    engine does — the multi-chip serving story for 13B+ decoders."""
+    from icl_speech_text_llm_tpu.inference.serving import (
+        ContinuousBatchingEngine,
+        ServingConfig,
+    )
+    from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS, init_decoder
+
+    cfg = DECODER_CONFIGS["tiny"]
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    scfg = ServingConfig(num_slots=2, max_new_tokens=5,
+                         prompt_buckets=(16, 32), eos_token_id=2)
+    rng = np.random.RandomState(1)
+    reqs = [(rng.randn(int(l), cfg.dim).astype(np.float32) * 0.3, int(l))
+            for l in rng.randint(5, 30, size=5)]
+
+    def run(engine):
+        rids = [engine.submit(emb, length) for emb, length in reqs]
+        res = engine.run()
+        return [res[r] for r in rids]
+
+    want = run(ContinuousBatchingEngine(cfg, params, scfg))
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    sp = shard_params({"llm": params}, mesh)["llm"]
+    got = run(ContinuousBatchingEngine(cfg, sp, scfg, mesh=mesh))
+    assert got == want
