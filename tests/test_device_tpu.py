@@ -102,6 +102,27 @@ for tag, (H2, Hkv2) in (("MHA", (8, 8)), ("GQA7", (14, 2))):
         make_decode_mask(lens, S2))
     d = float(np.abs(np.asarray(o, np.float32) - np.asarray(ref, np.float32)).max())
     print("DECODE_" + tag, d)
+
+# --- 5) int8-KV decode kernel vs XLA over the explicitly dequantized cache ---
+from icl_speech_text_llm_tpu.ops.flash_attention import flash_decode_attention_q8
+from icl_speech_text_llm_tpu.ops.quant import quantize_kv
+
+kd = jax.random.split(jax.random.PRNGKey(5), 3)
+S2, D2, H2, Hkv2 = 1024, 128, 14, 2
+qd = jax.random.normal(kd[0], (2, H2, 1, D2), jnp.bfloat16) * 0.3
+kc = jax.random.normal(kd[1], (2, Hkv2, S2, D2), jnp.float32) * 0.3
+vc = jax.random.normal(kd[2], (2, Hkv2, S2, D2), jnp.float32) * 0.3
+k8, ks = quantize_kv(kc)
+v8, vs = quantize_kv(vc)
+lens = jnp.array([1000, 437], jnp.int32)
+o = flash_decode_attention_q8(qd, k8, v8, ks, vs, lens)
+kdq = (k8.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+vdq = (v8.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+ref = dot_product_attention(
+    qd, repeat_kv(kdq, H2 // Hkv2), repeat_kv(vdq, H2 // Hkv2),
+    make_decode_mask(lens, S2))
+d = float(np.abs(np.asarray(o, np.float32) - np.asarray(ref, np.float32)).max())
+print("DECODE_Q8", d)
 """
 
 
@@ -117,7 +138,7 @@ def device_results():
     for line in proc.stdout.splitlines():
         parts = line.split()
         if parts and parts[0] in ("GATED_BIAS", "FLASH", "INT4",
-                                  "DECODE_MHA", "DECODE_GQA7"):
+                                  "DECODE_MHA", "DECODE_GQA7", "DECODE_Q8"):
             out[parts[0]] = [float(p) for p in parts[1:]]
     return out
 
@@ -145,3 +166,10 @@ def test_flash_decode_on_device_matches_xla(device_results):
     (d_mha,) = device_results["DECODE_MHA"]
     (d_gqa,) = device_results["DECODE_GQA7"]
     assert d_mha < 8e-3 and d_gqa < 8e-3, (d_mha, d_gqa)
+
+
+def test_flash_decode_q8_on_device_matches_dequant_oracle(device_results):
+    """int8-KV kernel vs XLA over the same dequantized values: the only
+    delta is kernel arithmetic (bf16 MXU) — bound at bf16 resolution."""
+    (d_q8,) = device_results["DECODE_Q8"]
+    assert d_q8 < 8e-3, d_q8

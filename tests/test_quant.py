@@ -206,6 +206,16 @@ def test_int8_quality_on_trained_weights():
     acc_int4 = np.mean([w in p for w, p in zip(want, preds_int4)])
     assert acc_full == acc_int4, (preds_full, preds_int4)
 
+    # int8 KV cache on the same trained model: the decode-bandwidth halving
+    # must preserve the task predictions on peaked (trained) logits too
+    gen_kv = GenerationConfig(max_new_tokens=4, eos_token_id=tok.eos_token_id,
+                              pad_token_id=tok.pad_token_id, kv_int8=True)
+    toks_kv8 = np.asarray(salmonn_generate(cfg, gen_kv, trained, gen_batch))
+    assert (toks_full == toks_kv8).mean() >= 0.95, (toks_full, toks_kv8)
+    preds_kv8 = predictions(toks_kv8)
+    acc_kv8 = np.mean([w in p for w, p in zip(want, preds_kv8)])
+    assert acc_full == acc_kv8, (preds_full, preds_kv8)
+
 
 def test_quantize_kv_roundtrip_and_zero_rows():
     from icl_speech_text_llm_tpu.ops.quant import quantize_kv
