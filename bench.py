@@ -503,6 +503,7 @@ def bench_serving(jax, tok):
         num_slots=SLOTS, max_new_tokens=NEW_TOKENS, prompt_buckets=(1536,),
         admit_batch=B, sync_every=4,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+        kv_int8=_KV_INT8,
     )
     lora_scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
     engine = ContinuousBatchingEngine(

@@ -123,7 +123,15 @@ def main(argv=None):
         from ..parallel import make_mesh
         from ..parallel.sharding import shard_params
 
-        dp, fsdp, tp = ([int(x) for x in args.mesh.split(",")] + [1, 1])[:3]
+        sizes = [int(x) for x in args.mesh.split(",")]
+        if len(sizes) != 3:
+            raise SystemExit(
+                f"--mesh wants exactly 'dp,fsdp,tp' (got {args.mesh!r})")
+        dp, fsdp, tp = sizes
+        if model.cfg.llm.n_kv_heads % max(tp, 1) != 0:
+            raise SystemExit(
+                f"tp={tp} must divide n_kv_heads={model.cfg.llm.n_kv_heads} "
+                f"for the KV-head-sharded pool")
         mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
         model.params = shard_params(model.params, mesh)
     llm_params = model.params["llm"]

@@ -114,8 +114,8 @@ def _sample_next(logits, temps, rng):
     return jnp.where(temps > 0, sampled, greedy)
 
 
-def _prefill_kernel(llm_cfg, scfg, dtype, params, cache, seqs, lengths, slots,
-                    temps, rng, lora, lora_scaling):
+def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
+                    lengths, slots, temps, rng, lora, lora_scaling):
     """Batched prefill at bucket length L; KV blocks land in slots ``slots``.
 
     ``seqs`` (n, L, D) — n waiting requests admitted together (one MXU-friendly
@@ -129,6 +129,7 @@ def _prefill_kernel(llm_cfg, scfg, dtype, params, cache, seqs, lengths, slots,
     hidden, local = decoder_forward(
         llm_cfg, params, seqs, mask, jnp.broadcast_to(jnp.arange(L), (n, L)),
         cache=local, lora=lora, lora_scaling=lora_scaling,
+        use_flash_decode=use_flash,
     )
     last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
     first_logits = lm_logits(llm_cfg, params, last)[:, 0]  # (n, V)
@@ -147,8 +148,8 @@ def _prefill_kernel(llm_cfg, scfg, dtype, params, cache, seqs, lengths, slots,
     return cache, first_toks
 
 
-def _decode_kernel(llm_cfg, scfg, n_inner, dtype, params, cache, tok, cur_len,
-                   done, temps, rng, lora, lora_scaling):
+def _decode_kernel(llm_cfg, scfg, n_inner, dtype, use_flash, params, cache,
+                   tok, cur_len, done, temps, rng, lora, lora_scaling):
     """``n_inner`` fused decode steps for every slot (one host round-trip).
 
     Inactive slots ride along masked to pad. Returns the emitted token block
@@ -161,7 +162,8 @@ def _decode_kernel(llm_cfg, scfg, n_inner, dtype, params, cache, tok, cur_len,
         mask = make_decode_mask(cur_len + 1, scfg.cache_len)
         hidden, cache = decoder_forward(
             llm_cfg, params, emb, mask, cur_len[:, None],
-            cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
+            cache=cache, cache_positions=cur_len, lora=lora,
+            lora_scaling=lora_scaling, use_flash_decode=use_flash,
         )
         logits = lm_logits(llm_cfg, params, hidden)[:, 0]
         nxt = _sample_next(logits, temps, step_rng)
@@ -211,9 +213,10 @@ class ContinuousBatchingEngine:
         if mesh is not None:
             # Megatron-convention pooled cache: KV heads follow the
             # column-parallel wk/wv output sharding, so the pool lives
-            # tp-sharded next to the weights that produce it and decode
-            # attention runs collective-free per shard (GSPMD propagates;
-            # pass tp-sharded params — parallel/sharding.shard_params).
+            # tp-sharded next to the weights that produce it and the XLA
+            # decode attention partitions per head shard (pass tp-sharded
+            # params — parallel/sharding.shard_params). The Pallas decode
+            # kernel is gated OFF under a mesh (see _use_flash below).
             from jax.sharding import NamedSharding, PartitionSpec
 
             from ..parallel.mesh import TP_AXIS
@@ -259,9 +262,19 @@ class ContinuousBatchingEngine:
         # micro-step costs ~ms, a fresh jit compile or an extra host sync
         # costs 20-40 s / ~90 ms on the tunneled chip.
         self._n_inner = max(1, cfg.sync_every)
+        # the Pallas decode kernel is a Mosaic custom call GSPMD cannot
+        # auto-partition — under a sharded mesh it runs per-KV-head-shard
+        # inside shard_map over the tp axis (models/llama.py:_layer_forward
+        # gates back to the XLA path if the per-shard shapes don't qualify)
+        if mesh is None:
+            self._use_flash = True
+        else:
+            from ..parallel.mesh import TP_AXIS
+
+            self._use_flash = (mesh, TP_AXIS)
         self._decode = jax.jit(
             partial(_decode_kernel, self.llm_cfg, self.cfg, self._n_inner,
-                    self._dtype),
+                    self._dtype, self._use_flash),
             donate_argnums=(1,),
         )
 
@@ -425,7 +438,8 @@ class ContinuousBatchingEngine:
         self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
         if key not in self._prefill:
             self._prefill[key] = jax.jit(
-                partial(_prefill_kernel, self.llm_cfg, self.cfg, self._dtype),
+                partial(_prefill_kernel, self.llm_cfg, self.cfg, self._dtype,
+                        self._use_flash),
                 donate_argnums=(1,),
             )
         self._rng, admit_rng = jax.random.split(self._rng)

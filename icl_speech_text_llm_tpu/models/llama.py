@@ -273,11 +273,12 @@ def _layer_forward(
     mask: jnp.ndarray,
     positions: jnp.ndarray,
     inv_freq: jnp.ndarray,
-    cache_kv,  # None or (k, v): (B, Hkv, T_cache, hd)
+    cache_kv,  # None, (k, v), or (k, v, k_s, v_s): (B, Hkv, T_cache, hd)
     cache_positions,  # None or (B,) write index per sample
     flash_lengths=None,  # (B,) → use the Pallas flash kernel for this prefill
     ring=None,  # (Mesh, axis name) → KV-distributed ring attention
     attn_override=None,  # callable(q, k, v) heads-first — replaces attention
+    use_flash_decode=True,  # False → XLA decode attention (GSPMD-partitionable)
 ):
     B, T, _ = x.shape
     hd = cfg.hd
@@ -298,7 +299,7 @@ def _layer_forward(
     new_cache_kv = None
     kv_scales = None  # (k_s, v_s) when the cache is int8-quantized
     if cache_kv is not None:
-        quant = len(cache_kv) == 4
+        quant = len(cache_kv) == 4  # decoder_forward flattens the keyed cache
         if quant:
             from ..ops.quant import quantize_kv
 
@@ -381,18 +382,52 @@ def _layer_forward(
             flash_decode_usable,
         )
 
-        if (cache_positions is not None and T == 1
-                and flash_decode_usable(q.shape, k_att.shape)):
+        # use_flash_decode: True (single chip), False (XLA path), or a
+        # (Mesh, tp_axis) pair — the kernel is a Mosaic custom call GSPMD
+        # cannot auto-partition, so under a mesh it runs per-shard inside
+        # shard_map over the KV-head (tp) axis
+        shard_ctx = use_flash_decode if isinstance(use_flash_decode, tuple) else None
+        if shard_ctx is not None:
+            ntp = shard_ctx[0].shape[shard_ctx[1]]
+            flash_ok = (
+                cfg.n_heads % ntp == 0 and cfg.n_kv_heads % ntp == 0
+                and (cfg.n_heads // ntp) % (cfg.n_kv_heads // ntp) == 0
+                and flash_decode_usable(
+                    (B, cfg.n_heads // ntp, T, hd),
+                    (B, cfg.n_kv_heads // ntp) + k_att.shape[2:]))
+        else:
+            flash_ok = use_flash_decode and flash_decode_usable(q.shape, k_att.shape)
+        if flash_ok and cache_positions is not None and T == 1:
             # single-token decode: stream the cache through the Pallas
             # decode kernel at HBM rate (XLA's M=1 contraction lowering runs
             # far below the roofline) — GQA handled by sublane packing, so
             # the cache is read once and never repeat_kv-materialized
+            lengths = cache_positions + 1
             if kv_scales is not None:
-                out = flash_decode_attention_q8(
-                    q, k_att, v_att, kv_scales[0], kv_scales[1],
-                    cache_positions + 1)
+                kern = lambda q_, k_, v_, ks_, vs_, l_: flash_decode_attention_q8(
+                    q_, k_, v_, ks_, vs_, l_)
+                args = (q, k_att, v_att, kv_scales[0], kv_scales[1], lengths)
+                ranks = (4, 4, 4, 3, 3, 1)
             else:
-                out = flash_decode_attention(q, k_att, v_att, cache_positions + 1)
+                kern = lambda q_, k_, v_, l_: flash_decode_attention(q_, k_, v_, l_)
+                args = (q, k_att, v_att, lengths)
+                ranks = (4, 4, 4, 1)
+            if shard_ctx is not None:
+                from jax.sharding import PartitionSpec
+
+                from ..parallel.pipeline import shard_map  # rep-checks off
+
+                mesh, axis = shard_ctx
+                # heads live on dim 1 of every rank>1 operand; lengths (B,)
+                # are replicated
+                specs = tuple(
+                    PartitionSpec(None, axis) if r > 1 else PartitionSpec()
+                    for r in ranks)
+                out = shard_map(
+                    kern, mesh=mesh, in_specs=specs,
+                    out_specs=PartitionSpec(None, axis))(*args)
+            else:
+                out = kern(*args)
         else:
             if kv_scales is not None:
                 # XLA fallback: materialize the dequantized cache
@@ -489,6 +524,9 @@ def decoder_forward(
     remat: bool = False,
     flash_lengths: Optional[jnp.ndarray] = None,
     ring=None,  # (Mesh, axis) → context-parallel ring attention (no-cache only)
+    use_flash_decode: bool = True,  # False → XLA decode attention; required
+    # under multi-chip GSPMD jit, where a Mosaic custom call cannot be
+    # auto-partitioned (it would force the sharded cache to replicate)
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack. Returns (hidden_states, updated_cache).
 
@@ -522,7 +560,8 @@ def decoder_forward(
              cpos, fl):
         # ring bound by closure: a Mesh cannot traverse jax.checkpoint
         return _layer_forward(cfg, layer, lo, scaling, x, mask, positions,
-                              inv_freq, ckv, cpos, fl, ring_fwd)
+                              inv_freq, ckv, cpos, fl, ring_fwd,
+                              use_flash_decode=use_flash_decode)
 
     layer_fn = _fwd
     if remat:

@@ -642,16 +642,19 @@ def flash_attention_gated_bias(
 def _decode_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32 attendable positions per sample
     q_ref,  # (1, 1, 8, D) — the r grouped query heads in sublanes, padded to 8
-    k_ref,  # (1, 1, block_k, D)
-    v_ref,  # (1, 1, block_k, D)
-    o_ref,  # (1, 1, 8, D)
-    m_scratch,  # (8, MIN_LANES) f32
-    l_scratch,  # (8, MIN_LANES) f32
-    acc_scratch,  # (8, D) f32
-    *,
+    k_ref,  # (1, 1, block_k, D) compute dtype, or int8 when quant
+    v_ref,  # (1, 1, block_k, D) compute dtype, or int8 when quant
+    *rest,  # [ks_ref (1,1,block_k) f32, vs_ref (1,1,block_k) f32,] o_ref,
+    #         m_scratch (8, MIN_LANES) f32, l_scratch (8, MIN_LANES) f32,
+    #         acc_scratch (8, D) f32
     sm_scale: float,
     block_k: int,
+    quant: bool,
 ):
+    if quant:
+        ks_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
     b = pl.program_id(0)
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -668,15 +671,32 @@ def _decode_kernel(
     @pl.when(kv_start < length)
     def _run():
         q = q_ref[0, 0]  # (8, D): rows 0..r-1 are real query heads, rest pad
-        k = k_ref[0, 0]  # (block_k, D)
+        k = k_ref[0, 0].astype(q.dtype)  # int8 → compute dtype when quant
         s = jax.lax.dot_general(
-            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # (8, block_k)
+        if quant:
+            # dequant linearity: scaling k rows == scaling score columns
+            s = s * ks_ref[0]  # (1, block_k) broadcast
         col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
         s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
-        _online_softmax_update(s, v_ref[0, 0].astype(q.dtype),
-                               m_scratch, l_scratch, acc_scratch)
+        # v's scales fold into p (NOT into l — the normalizer must sum
+        # unscaled probabilities), so _online_softmax_update can't be reused
+        # verbatim for the quant case; keep ONE inlined copy for both.
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        m_scratch[...] = m_next
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        if quant:
+            p = p * vs_ref[0]
+        pv = jax.lax.dot(p.astype(q.dtype), v_ref[0, 0].astype(q.dtype),
+                         preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -716,32 +736,47 @@ def flash_decode_attention(
     Reference cost center: the token-by-token HF generate loop,
     ref models/custom_salmon.py:704-720.
     """
+    return _flash_decode(q, k, v, None, lengths, sm_scale, block_k)
+
+
+def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k):
+    """Shared launcher for the bf16 and int8-KV decode kernels; ``scales`` is
+    None or a ((B, Hkv, S) k-scale, same v-scale) pair."""
     B, H, Tq, D = q.shape
     _, Hkv, S, _ = k.shape
     if Tq != 1:
-        raise ValueError(f"flash_decode_attention is single-position; Tq={Tq}")
+        raise ValueError(f"flash decode attention is single-position; Tq={Tq}")
     n_rep = H // Hkv
     if n_rep > 8:
-        raise ValueError(f"flash_decode_attention packs GQA groups into 8 "
+        raise ValueError(f"flash decode attention packs GQA groups into 8 "
                          f"sublanes; H/Hkv={n_rep} > 8")
     if sm_scale is None:
         sm_scale = D**-0.5
+    quant = scales is not None
     bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
     # (B, H, 1, D) → (B, Hkv, r, D): row j of group kvh is query head kvh·r+j
     qg = q.reshape(B, Hkv, n_rep, D)
     q8 = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - n_rep), (0, 0)))
     grid = (B, Hkv, S // bk)
-    kernel = functools.partial(_decode_kernel, sm_scale=sm_scale, block_k=bk)
+    kernel = functools.partial(_decode_kernel, sm_scale=sm_scale, block_k=bk,
+                               quant=quant)
+    kv_spec = pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, *_: (b, h, ki, 0))
+    in_specs = [
+        pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
+        kv_spec,
+        kv_spec,
+    ]
+    operands = [lengths.astype(jnp.int32), q8, k, v]
+    if quant:
+        s_spec = pl.BlockSpec((1, 1, bk), lambda b, h, ki, *_: (b, h, ki))
+        in_specs += [s_spec, s_spec]
+        operands += [scales[0].astype(jnp.float32), scales[1].astype(jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, *_: (b, h, ki, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, *_: (b, h, ki, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((8, MIN_LANES), jnp.float32),
@@ -753,71 +788,8 @@ def flash_decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(lengths.astype(jnp.int32), q8, k, v)
+    )(*operands)
     return out[:, :, :n_rep, :].reshape(B, H, D)[:, :, None, :]
-
-
-def _decode_kernel_q8(
-    lengths_ref,  # scalar prefetch: (B,) int32 attendable positions per sample
-    q_ref,  # (1, 1, 8, D) — the r grouped query heads in sublanes, padded to 8
-    k_ref,  # (1, 1, block_k, D) int8
-    v_ref,  # (1, 1, block_k, D) int8
-    ks_ref,  # (1, 1, block_k) f32 per-position k scales
-    vs_ref,  # (1, 1, block_k) f32 per-position v scales
-    o_ref,  # (1, 1, 8, D)
-    m_scratch,  # (8, MIN_LANES) f32
-    l_scratch,  # (8, MIN_LANES) f32
-    acc_scratch,  # (8, D) f32
-    *,
-    sm_scale: float,
-    block_k: int,
-):
-    b = pl.program_id(0)
-    kv_idx = pl.program_id(2)
-    n_kv = pl.num_programs(2)
-
-    @pl.when(kv_idx == 0)
-    def _init():
-        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
-        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
-        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
-
-    length = lengths_ref[b]
-    kv_start = kv_idx * block_k
-
-    @pl.when(kv_start < length)
-    def _run():
-        q = q_ref[0, 0]  # (8, D)
-        kb = k_ref[0, 0].astype(q.dtype)  # int8 → compute dtype, UNSCALED
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (8, block_k)
-        # dequant linearity: scaling k rows == scaling score columns
-        s = s * (ks_ref[0] * sm_scale)  # (1, block_k) broadcast
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-        s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
-        # online softmax with the v scales folded into p (NOT into l — the
-        # normalizer must sum unscaled probabilities)
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        m_scratch[...] = m_next
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot(
-            (p * vs_ref[0]).astype(q.dtype), v_ref[0, 0].astype(q.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
-
-    @pl.when(kv_idx == n_kv - 1)
-    def _store():
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
 def flash_decode_attention_q8(
@@ -837,49 +809,10 @@ def flash_decode_attention_q8(
     scales fold in as cheap (8, block_k) column scalings — k's into the raw
     scores, v's into the softmax probs — so no (S, D) dequant multiply ever
     materializes. Same GQA sublane packing / tile skipping as the bf16
-    kernel. Beyond-reference: halves decode KV traffic and doubles the
-    serving engine's slot capacity at a fixed HBM budget.
+    kernel (shared launcher). Beyond-reference: halves decode KV traffic and
+    doubles the serving engine's slot capacity at a fixed HBM budget.
     """
-    B, H, Tq, D = q.shape
-    _, Hkv, S, _ = k8.shape
-    if Tq != 1:
-        raise ValueError(f"flash_decode_attention_q8 is single-position; Tq={Tq}")
-    n_rep = H // Hkv
-    if n_rep > 8:
-        raise ValueError(f"GQA group {n_rep} > 8 sublanes")
-    if sm_scale is None:
-        sm_scale = D**-0.5
-    bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
-    qg = q.reshape(B, Hkv, n_rep, D)
-    q8pad = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - n_rep), (0, 0)))
-    grid = (B, Hkv, S // bk)
-    kernel = functools.partial(_decode_kernel_q8, sm_scale=sm_scale, block_k=bk)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, *_: (b, h, ki, 0)),
-                pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, *_: (b, h, ki, 0)),
-                pl.BlockSpec((1, 1, bk), lambda b, h, ki, *_: (b, h, ki)),
-                pl.BlockSpec((1, 1, bk), lambda b, h, ki, *_: (b, h, ki)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((8, MIN_LANES), jnp.float32),
-                pltpu.VMEM((8, MIN_LANES), jnp.float32),
-                pltpu.VMEM((8, D), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, 8, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(lengths.astype(jnp.int32), q8pad, k8, v8,
-      k_s.astype(jnp.float32), v_s.astype(jnp.float32))
-    return out[:, :, :n_rep, :].reshape(B, H, D)[:, :, None, :]
+    return _flash_decode(q, k8, v8, (k_s, v_s), lengths, sm_scale, block_k)
 
 
 def flash_decode_usable(q_shape, kv_shape) -> bool:

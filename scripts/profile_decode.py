@@ -113,7 +113,9 @@ def main():
         x.nbytes for key, sub in params.items() if key != "tok_embed"
         for x in jax.tree_util.tree_leaves(sub))
     lora_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(lora))
-    kv_bytes = llm.n_layers * B * KV * llm.n_kv_heads * llm.hd * 2 * 2
+    # the XLA path reads ALL S_al cache positions; the flash kernel streams
+    # every tile whose start < length, which at KV=1030 is also all of S_al
+    kv_bytes = llm.n_layers * B * S_al * llm.n_kv_heads * llm.hd * 2 * 2
     step_bytes = w_bytes + lora_bytes + kv_bytes
     print(f"weights {w_bytes/1e9:.2f} GB, lora {lora_bytes/1e9:.3f} GB, "
           f"kv {kv_bytes/1e9:.2f} GB -> step {step_bytes/1e9:.2f} GB; "

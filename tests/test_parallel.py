@@ -193,3 +193,62 @@ def test_sharded_serving_matches_unsharded(cpu_devices):
     sp = shard_params({"llm": params}, mesh)["llm"]
     got = run(ContinuousBatchingEngine(cfg, sp, scfg, mesh=mesh))
     assert got == want
+
+
+def test_shard_mapped_flash_decode_matches_xla(cpu_devices, monkeypatch):
+    """use_flash_decode=(mesh, 'tp') routes single-token decode through the
+    Pallas kernel inside shard_map over the KV-head axis (the production
+    multi-chip path — GSPMD cannot auto-partition a Mosaic custom call);
+    output must match the XLA mask path."""
+    import dataclasses
+
+    import icl_speech_text_llm_tpu.ops.flash_attention as fa
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        init_decoder,
+        init_kv_cache,
+    )
+    from icl_speech_text_llm_tpu.ops.attention import make_decode_mask
+
+    cfg = dataclasses.replace(DECODER_CONFIGS["tiny"], n_heads=2,
+                              n_kv_heads=2, head_dim=128)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 256
+    cur_len = jnp.asarray([100, 40], jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, cfg.dim), jnp.float32)
+    mask = make_decode_mask(cur_len + 1, S)
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+
+    out_xla, _ = decoder_forward(
+        cfg, params, x, mask, cur_len[:, None],
+        cache=init_kv_cache(cfg, B, S, dtype=jnp.float32),
+        cache_positions=cur_len, use_flash_decode=False)
+
+    # Pallas interpret mode cannot LOWER inside shard_map on the CPU backend
+    # (the real Mosaic lowering under shard_map is the standard TPU pattern,
+    # exercised by the device tier) — so verify the shard_map WIRING (specs,
+    # per-shard shapes, head routing) with a pure-JAX stand-in that computes
+    # exactly what the kernel computes on its per-shard operands.
+    calls = {}
+
+    def standin(q, k, v, lengths):
+        from icl_speech_text_llm_tpu.models.llama import repeat_kv
+        from icl_speech_text_llm_tpu.ops.attention import dot_product_attention
+
+        calls["shapes"] = (q.shape, k.shape)
+        r = q.shape[1] // k.shape[1]
+        return dot_product_attention(
+            q, repeat_kv(k, r), repeat_kv(v, r),
+            make_decode_mask(lengths, k.shape[2]))
+
+    monkeypatch.setattr(fa, "flash_decode_attention", standin)
+    monkeypatch.setattr(fa, "flash_decode_usable", lambda *a: True)
+    out_sm, _ = decoder_forward(
+        cfg, params, x, mask, cur_len[:, None],
+        cache=init_kv_cache(cfg, B, S, dtype=jnp.float32),
+        cache_positions=cur_len, use_flash_decode=(mesh, "tp"))
+    # per-shard: 1 of 2 heads per tp shard
+    assert calls["shapes"] == ((2, 1, 1, 128), (2, 1, 256, 128)), calls
+    np.testing.assert_allclose(np.asarray(out_sm), np.asarray(out_xla),
+                               rtol=2e-4, atol=2e-4)
