@@ -302,14 +302,15 @@ def beats_encode_fbank(
     """Normalized fbank → (B, n_tokens, dim) BEATs features."""
     B, T, F = fbank.shape
     tp, fp = T // cfg.patch, F // cfg.patch
-    x = fbank[:, : tp * cfg.patch].reshape(B, tp * cfg.patch, F, 1).astype(dtype)
-    x = jax.lax.conv_general_dilated(
-        x, params["patch_embed"]["w"].astype(dtype),
-        window_strides=(cfg.patch, cfg.patch),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + params["patch_embed"]["b"].astype(dtype)  # (B, tp, fp, embed_dim)
-    x = x.reshape(B, tp * fp, cfg.embed_dim)
+    # Non-overlapping stride-16 patch conv == reshape + matmul (exact: the
+    # HWIO weight's (h, w) flatten order matches the patch flatten order).
+    # Stated as a matmul so the MXU gets a (B·tp·fp, 256)×(256, 512) GEMM —
+    # a 1-input-channel conv is the worst case for TPU conv lowering.
+    p = cfg.patch
+    x = fbank[:, : tp * p, : fp * p].reshape(B, tp, p, fp, p).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(B, tp * fp, p * p).astype(dtype)
+    w = params["patch_embed"]["w"].reshape(p * p, cfg.embed_dim).astype(dtype)
+    x = x @ w + params["patch_embed"]["b"].astype(dtype)  # (B, tp·fp, embed)
     x = layer_norm(x, params["ln_patch"]["w"], params["ln_patch"]["b"])
     x = x @ params["post_proj"]["w"].astype(dtype) + params["post_proj"]["b"].astype(dtype)
     x = x + _conv_pos_embed(cfg, params["conv_pos"], x)

@@ -223,3 +223,28 @@ def test_kaldi_fbank_matches_torchaudio():
     ours = np.asarray(kaldi_fbank(jnp.asarray(wav[None] * 2**15)))[0]
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_patch_embed_matmul_equals_conv_formulation():
+    """The stride-16 patch embedding is stated as reshape+matmul for the MXU;
+    it must be bit-equal to the conv formulation it replaces."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icl_speech_text_llm_tpu.models import beats as m
+
+    cfg = m.BeatsConfig()
+    params = m.init_beats(jax.random.PRNGKey(0), cfg)
+    fb = jax.random.normal(jax.random.PRNGKey(1), (2, 163, 128), jnp.float32)
+    conv = jax.lax.conv_general_dilated(
+        fb[:, :160].reshape(2, 160, 128, 1), params["patch_embed"]["w"],
+        window_strides=(16, 16), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    conv = (conv + params["patch_embed"]["b"]).reshape(2, -1, cfg.embed_dim)
+    p, tp, fp = 16, 10, 8
+    x = fb[:, : tp * p, : fp * p].reshape(2, tp, p, fp, p).transpose(0, 1, 3, 2, 4)
+    mat = x.reshape(2, tp * fp, p * p) @ params["patch_embed"]["w"].reshape(
+        p * p, cfg.embed_dim) + params["patch_embed"]["b"]
+    np.testing.assert_array_equal(np.asarray(conv), np.asarray(mat))
