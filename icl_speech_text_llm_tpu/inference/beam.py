@@ -210,6 +210,7 @@ def beam_decode_from_sequence(
         hidden, cache = decoder_forward(
             llm_cfg, llm_params, emb, mask, cur_len[:, None],
             cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
+            use_flash_decode=gen.use_flash_decode,
         )
         logits = lm_logits(llm_cfg, llm_params, hidden)[:, 0].astype(jnp.float32)
         logprobs = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)

@@ -56,6 +56,12 @@ class GenerationConfig:
     # TPU-serving addition (no reference equivalent): int8 KV cache — halves
     # the decode-phase KV read, dequant fused into the flash-decode kernel
     kv_int8: bool = False
+    # False routes decode attention through XLA instead of the Pallas
+    # kernel. REQUIRED when jitting generate over GSPMD-sharded params
+    # (a Mosaic custom call cannot be auto-partitioned — it would force the
+    # KV cache to replicate); the serving engine handles this itself via
+    # shard_map, the static engine cannot see the caller's mesh.
+    use_flash_decode: bool = True
 
     @property
     def needs_history(self) -> bool:
@@ -144,6 +150,7 @@ def decode_from_sequence(
         hidden, cache = decoder_forward(
             llm_cfg, llm_params, emb, mask, cur_len[:, None],
             cache=cache, cache_positions=cur_len, lora=lora, lora_scaling=lora_scaling,
+            use_flash_decode=gen.use_flash_decode,
         )
         logits = lm_logits(llm_cfg, llm_params, hidden)[:, 0]
         if gen.needs_history:
