@@ -52,6 +52,15 @@ class BeatsConfig:
     rel_pos_max_distance: int = 800
     use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash
     # (plain kernel when gated_rel_pos is off; flash_attention_gated_bias when on)
+    # Grouped-conv positional embedding lowering strategy (numerics identical):
+    #   "grouped"  — one lax.conv with feature_group_count (XLA's grouped-conv
+    #                lowering may expand filters block-diagonally → G× FLOPs)
+    #   "unrolled" — G dense convs, one per group (no expansion; small-channel
+    #                convs, C/G in→out each)
+    #   "im2col"   — time-blocked im2col + per-group GEMM (pure MXU batched
+    #                matmul, K·C/G contraction; halo blocks keep the unfold
+    #                transient at a few MB)
+    conv_pos_impl: str = "grouped"
 
     @property
     def deep_norm_alpha(self) -> float:
@@ -208,16 +217,80 @@ def init_beats(key, cfg: BeatsConfig) -> Dict[str, Any]:
     return params
 
 
-def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
-    """Grouped conv positional embedding (wav2vec2-style)."""
+def _conv_pos_grouped(cfg: BeatsConfig, w, x: jnp.ndarray) -> jnp.ndarray:
     pad = cfg.conv_pos // 2
-    out = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype),
+    return jax.lax.conv_general_dilated(
+        x, w,
         window_strides=(1,),
         padding=((pad, pad),),
         dimension_numbers=("NTC", "TIO", "NTC"),
         feature_group_count=cfg.conv_pos_groups,
     )
+
+
+def _conv_pos_unrolled(cfg: BeatsConfig, w, x: jnp.ndarray) -> jnp.ndarray:
+    """G independent dense convs — sidesteps XLA's grouped-conv filter
+    expansion (block-diagonal dense conv = G× the FLOPs)."""
+    G = cfg.conv_pos_groups
+    Cg = x.shape[-1] // G          # input channels per group
+    Og = cfg.dim // G              # output channels per group
+    pad = cfg.conv_pos // 2
+    outs = [
+        jax.lax.conv_general_dilated(
+            x[..., g * Cg:(g + 1) * Cg], w[:, :, g * Og:(g + 1) * Og],
+            window_strides=(1,),
+            padding=((pad, pad),),
+            dimension_numbers=("NTC", "TIO", "NTC"),
+        )
+        for g in range(G)
+    ]
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _conv_pos_im2col(cfg: BeatsConfig, w, x: jnp.ndarray) -> jnp.ndarray:
+    """Time-blocked im2col + per-group GEMM.
+
+    Output block of Tb positions unfolds a (Tb + K - 1) halo slice into a
+    (B·Tb, K·Cg) matrix and contracts with the (G, K·Cg, Og) reshaped
+    filters — a G-batched MXU GEMM, no conv lowering involved. The unfold
+    transient is (B, Tb, K, C) per scan step (a few MB), never the full
+    (B, T, K, C) im2col.
+    """
+    K, G = cfg.conv_pos, cfg.conv_pos_groups
+    B, T, C = x.shape
+    Cg, Og = C // G, cfg.dim // G
+    pad = K // 2
+    Tout = T + 2 * pad - K + 1
+    Tb = min(128, Tout)
+    nb = -(-Tout // Tb)
+    # (G, K·Cg, Og): group g's filters are output columns [g·Og, (g+1)·Og)
+    wg = w.reshape(K, Cg, G, Og).transpose(2, 0, 1, 3).reshape(G, K * Cg, Og)
+    # pad so every block's (Tb + K - 1) halo slice is in range
+    x_pad = jnp.pad(x, ((0, 0), (pad, pad + nb * Tb + K - 1 - (T + 2 * pad)), (0, 0)))
+    unfold = np.arange(Tb)[:, None] + np.arange(K)[None, :]  # (Tb, K)
+
+    def block(_, i):
+        xs = jax.lax.dynamic_slice_in_dim(x_pad, i * Tb, Tb + K - 1, axis=1)
+        col = xs[:, unfold]  # (B, Tb, K, C)
+        colg = col.reshape(B, Tb, K, G, Cg).transpose(3, 0, 1, 2, 4).reshape(
+            G, B * Tb, K * Cg)
+        out = jnp.einsum("gmk,gkn->gmn", colg, wg)  # (G, B·Tb, Og)
+        return None, out.reshape(G, B, Tb, Og).transpose(1, 2, 0, 3).reshape(B, Tb, C)
+
+    _, blocks = jax.lax.scan(block, None, jnp.arange(nb))  # (nb, B, Tb, C)
+    return blocks.transpose(1, 0, 2, 3).reshape(B, nb * Tb, C)[:, :Tout]
+
+
+_CONV_POS_IMPLS = {
+    "grouped": _conv_pos_grouped,
+    "unrolled": _conv_pos_unrolled,
+    "im2col": _conv_pos_im2col,
+}
+
+
+def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
+    """Grouped conv positional embedding (wav2vec2-style)."""
+    out = _CONV_POS_IMPLS[cfg.conv_pos_impl](cfg, p["w"].astype(x.dtype), x)
     out = out + p["b"].astype(x.dtype)
     if cfg.conv_pos % 2 == 0:
         out = out[:, :-1]

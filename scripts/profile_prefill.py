@@ -135,6 +135,24 @@ def main():
     timed(lambda p, f, c: beats_encode_fbank(cfg.beats, p, f + c.astype(f.dtype) * 0, dtype=jnp.bfloat16),
           pb, fbn, name=f"beats full x{C}", flops=bfl, floor=floor, peak=peak)
 
+    # --- conv_pos lowering A/B (grouped conv = suspected frontend cost:
+    # XLA's grouped-conv rewrite can expand filters block-diagonally, G×
+    # the FLOPs; 'unrolled'/'im2col' avoid the expansion) ---
+    from icl_speech_text_llm_tpu.models import beats as beats_mod
+
+    bcfg = cfg.beats
+    t_tokens = 1496  # 30 s → (2998//16)·(128//16)
+    xpos = jnp.asarray(np.random.RandomState(2).randn(C, t_tokens, bcfg.dim)
+                       .astype(np.float32) * 0.1, jnp.bfloat16)
+    cpf = C * (t_tokens + 1) * bcfg.dim * (bcfg.dim // bcfg.conv_pos_groups) \
+        * bcfg.conv_pos * 2
+    for impl in ("grouped", "unrolled", "im2col"):
+        icfg = dataclasses.replace(bcfg, conv_pos_impl=impl)
+        timed(lambda p, xx, c, icfg=icfg: beats_mod._conv_pos_embed(
+                  icfg, p, xx + c.astype(xx.dtype) * 0),
+              pb["conv_pos"], xpos, name=f"conv_pos[{impl}] x{C}",
+              flops=cpf, floor=floor, peak=peak)
+
     # --- qformer (input: concat whisper (C,1500,1280) + beats pad to 1500) ---
     ws = jax.jit(whisper_encode, static_argnums=(0,), static_argnames=("dtype",))(
         cfg.whisper, pw, mel, dtype=jnp.bfloat16)

@@ -248,3 +248,50 @@ def test_patch_embed_matmul_equals_conv_formulation():
     mat = x.reshape(2, tp * fp, p * p) @ params["patch_embed"]["w"].reshape(
         p * p, cfg.embed_dim) + params["patch_embed"]["b"]
     np.testing.assert_array_equal(np.asarray(conv), np.asarray(mat))
+
+
+def test_conv_pos_impls_agree():
+    """The three conv_pos lowerings (grouped conv / per-group dense convs /
+    time-blocked im2col GEMM) are the same operator — outputs must agree to
+    f32 reassociation tolerance at the real kernel geometry (K=128, G=16)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.models import beats as m
+
+    cfg = m.BeatsConfig()  # real geometry: conv_pos=128, groups=16, dim=768
+    params = m.init_beats(jax.random.PRNGKey(0), cfg)
+    # T=333 is deliberately NOT a multiple of the im2col block (128): the
+    # ragged final block must trim exactly
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (2, 333, cfg.dim), jnp.float32)
+    ref = m._conv_pos_embed(cfg, params["conv_pos"], x)
+    for impl in ("unrolled", "im2col"):
+        alt = m._conv_pos_embed(
+            dataclasses.replace(cfg, conv_pos_impl=impl), params["conv_pos"], x)
+        assert alt.shape == ref.shape, impl
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=impl)
+
+
+def test_conv_pos_impls_agree_odd_kernel():
+    """Odd kernels skip the trailing-position trim — all impls must handle
+    the Tout = T + 2·pad − K + 1 arithmetic for both parities."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.models import beats as m
+
+    cfg = m.BeatsConfig(dim=64, conv_pos=15, conv_pos_groups=4)
+    params = m.init_beats(jax.random.PRNGKey(2), cfg)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(3), (3, 50, cfg.dim), jnp.float32)
+    ref = m._conv_pos_embed(cfg, params["conv_pos"], x)
+    for impl in ("unrolled", "im2col"):
+        alt = m._conv_pos_embed(
+            dataclasses.replace(cfg, conv_pos_impl=impl), params["conv_pos"], x)
+        assert alt.shape == ref.shape, impl
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=impl)
