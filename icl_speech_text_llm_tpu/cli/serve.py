@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--text_len", type=int, default=384)
     p.add_argument("--temperature", type=float, default=0.0,
                    help="per-request sampling temperature (0 = greedy)")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help="per-request beam width; >1 routes requests through "
+                        "the engine's beam lane (batched whole-beam-search "
+                        "dispatches — ref models/multi_task_model.py:130-149 "
+                        "carries per-task num_beams)")
     p.add_argument("--admit_batch", type=int, default=4,
                    help="requests encoded together per admission wave (audio "
                         "encoding amortizes across the wave)")
@@ -182,7 +187,8 @@ def main(argv=None):
         for r in range(real):
             length = int(lengths[r])
             rids.append(engine.submit(seq[r, :length], length,
-                                      temperature=args.temperature))
+                                      temperature=args.temperature,
+                                      num_beams=args.num_beams))
         return rids
 
     if args.warmup:

@@ -236,6 +236,14 @@ class ContinuousBatchingEngine:
         self._results: Dict[int, List[int]] = {}
         self._next_id = 0
         self._prefill = {}  # (bucket L, n) -> jitted fn
+        # beam lane: requests with num_beams > 1 bypass the slot pool — a
+        # whole beam search is ONE device program (beam_decode_from_sequence),
+        # so beam waves join the async dispatch chain as peers of the decode
+        # blocks; outputs defer to the same flush
+        self._beam_queue: deque = deque()
+        self._beam_programs = {}  # (bucket L, K, temp) -> jitted fn
+        # deferred beam outputs: (device (n, Tmax) tokens, [(rid, budget)])
+        self._pending_beams: List[Tuple[jnp.ndarray, List[Tuple[int, int]]]] = []
         # deferred token rows awaiting ONE batched host transfer:
         # _pending_rows[i] is a device (rows_i, S+1) int32 block;
         # _pending_meta[i] is ("admit", [(slot, rid, len)]) or
@@ -280,31 +288,44 @@ class ContinuousBatchingEngine:
 
     # -- public API ---------------------------------------------------------
     def submit(self, seq_emb, length: int, temperature: float = 0.0,
-               max_new_tokens: Optional[int] = None) -> int:
+               max_new_tokens: Optional[int] = None, num_beams: int = 1) -> int:
         """Enqueue a request: (L, D) prompt embeddings + true length.
 
         ``seq_emb`` may be a numpy array or a device (jax) array — device
         arrays stay on device through admission (no host round-trip).
         ``temperature`` is per-request: 0 = greedy, >0 = softmax sampling.
-        ``max_new_tokens`` is per-request (the reference's multi-task router
-        carries per-task budgets — ref models/multi_task_model.py:130-149);
-        it must not exceed ``cfg.max_new_tokens`` (the KV cache is sized for
-        that), and a smaller budget frees the slot sooner under the same
-        deterministic schedule."""
+        ``max_new_tokens`` and ``num_beams`` are per-request (the reference's
+        multi-task router carries per-task budgets and beam widths — ref
+        models/multi_task_model.py:130-149); ``max_new_tokens`` must not
+        exceed ``cfg.max_new_tokens`` (the KV cache is sized for that), and a
+        smaller budget frees the slot sooner under the same deterministic
+        schedule. ``num_beams > 1`` routes the request through the BEAM LANE:
+        same-shaped beam requests batch into one compile-cached
+        ``beam_decode_from_sequence`` dispatch (its whole beam search is one
+        device program), so beam traffic stays on the zero-blocking dispatch
+        chain — results materialize at the same deferred flush as slot
+        traffic. ``temperature > 0`` with beams runs stochastic beam search
+        (temperature is baked into the compiled program; waves group by it)."""
         _bucket_for(int(length), self.cfg.prompt_buckets)  # fail fast on oversize
         mnt = self.cfg.max_new_tokens if max_new_tokens is None else int(max_new_tokens)
         if not 1 <= mnt <= self.cfg.max_new_tokens:
             raise ValueError(
                 f"max_new_tokens must be in [1, {self.cfg.max_new_tokens}] "
                 f"(cache sizing), got {mnt}")
+        if num_beams < 1:
+            raise ValueError(f"num_beams must be >= 1, got {num_beams}")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, seq_emb, int(length), float(temperature), mnt))
+        if num_beams > 1:
+            self._beam_queue.append(
+                (rid, seq_emb, int(length), float(temperature), mnt, int(num_beams)))
+        else:
+            self._queue.append((rid, seq_emb, int(length), float(temperature), mnt))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue + all in-flight slots; return finished results."""
-        while self._queue or any(
+        while self._queue or self._beam_queue or any(
                 s is not None and s < self._budget[i]
                 for i, s in enumerate(self._sched)):
             self.step()
@@ -314,7 +335,8 @@ class ContinuousBatchingEngine:
 
     def step(self) -> None:
         """Admit waiting requests into free slots and advance ``sync_every``
-        fused decode steps. NOTHING on this path blocks: the schedule is
+        fused decode steps; dispatch any waiting beam waves alongside.
+        NOTHING on this path blocks: the schedule is
         host-deterministic (a slot's occupant provably finishes once
         ``max_new_tokens`` steps are scheduled — EOS can only end it earlier,
         never later), so slots are reclaimed and refilled without reading a
@@ -327,6 +349,7 @@ class ContinuousBatchingEngine:
         its budget is spent. The cap-triggered flush bounds that waste for
         long-``max_new_tokens`` configs."""
         self._admit()
+        self._dispatch_beams()
         riders = [i for i in range(len(self._slots)) if self._sched[i] is not None]
         if riders and any(s is not None and s < self._budget[i]
                           for i, s in enumerate(self._sched)):
@@ -351,7 +374,7 @@ class ContinuousBatchingEngine:
             self._pending_meta.append(("decode", (self._n_inner, riders)))
             for i in riders:
                 self._sched[i] += self._n_inner
-        if len(self._pending_meta) >= self.cfg.max_pending_blocks:
+        if len(self._pending_meta) + len(self._pending_beams) >= self.cfg.max_pending_blocks:
             self._flush()
 
     def _flush(self) -> None:
@@ -359,9 +382,23 @@ class ContinuousBatchingEngine:
         and REPLAY the schedule: reconstruct slot occupancy from the meta
         log (admissions create occupants; decode rows append to whichever
         occupant was live), recording results with EOS/cap truncation."""
-        if not self._pending_meta:
+        if not self._pending_meta and not self._pending_beams:
             return
         self.stats["flushes"] += 1
+        # beam-lane outputs: whole best-hypotheses blocks, EOS-filled after
+        # each hypothesis ends — truncate at EOS then at the request budget
+        beams, self._pending_beams = self._pending_beams, []
+        for toks_dev, entries in beams:
+            toks_np = np.asarray(toks_dev)
+            for j, (rid, budget) in enumerate(entries):
+                out: List[int] = []
+                for t in toks_np[j]:
+                    if int(t) == self.cfg.eos_token_id or len(out) >= budget:
+                        break
+                    out.append(int(t))
+                self._results[rid] = out
+        if not self._pending_meta:
+            return
         rows = np.asarray(jnp.concatenate(self._pending_rows, axis=0))
         meta, self._pending_meta, self._pending_rows = self._pending_meta, [], []
         r = 0
@@ -389,6 +426,71 @@ class ContinuousBatchingEngine:
         for i, slot in enumerate(self._slots):
             if not slot.active and self._sched[i] is not None:
                 self._sched[i] = max(self._sched[i], self._budget[i])
+
+    def _dispatch_beams(self) -> None:
+        """Drain the beam queue as compile-cached waves.
+
+        A wave = FIFO-following requests sharing (prompt bucket, num_beams,
+        temperature), padded to ``admit_batch`` rows (ONE compiled program
+        per key; padding rows prompt-length 1, discarded at flush). The
+        program runs the whole beam search on device and returns
+        (n, max_new_tokens) best hypotheses — no readback here; outputs
+        materialize at the next flush with per-request budget truncation."""
+        from ..inference.beam import beam_decode_from_sequence
+        from ..inference.engine import GenerationConfig
+
+        while self._beam_queue:
+            head = self._beam_queue[0]
+            L = _bucket_for(head[2], self.cfg.prompt_buckets)
+            key = (L, head[5], head[3])  # (bucket, num_beams, temperature)
+            wave, keep = [], deque()
+            while self._beam_queue and len(wave) < self.cfg.admit_batch:
+                req = self._beam_queue.popleft()
+                if (_bucket_for(req[2], self.cfg.prompt_buckets), req[5], req[3]) == key:
+                    wave.append(req)
+                else:
+                    keep.append(req)
+            while keep:
+                self._beam_queue.appendleft(keep.pop())
+
+            nb = self.cfg.admit_batch
+            rows = []
+            for (_rid, emb, _length, _t, _m, _k) in wave:
+                if isinstance(emb, jnp.ndarray):
+                    rows.append(jnp.pad(
+                        emb[:L], ((0, L - min(emb.shape[0], L)), (0, 0))))
+                else:
+                    h = np.zeros((L, emb.shape[-1]), emb.dtype)
+                    h[: min(len(emb), L)] = emb[:L]
+                    rows.append(jnp.asarray(h))
+            for _ in range(nb - len(wave)):
+                rows.append(jnp.zeros_like(rows[0]))
+            seqs = jnp.stack(rows)
+            lengths = jnp.asarray(
+                [r[2] for r in wave] + [1] * (nb - len(wave)), jnp.int32)
+
+            if key not in self._beam_programs:
+                temp = key[2]
+                gen = GenerationConfig(
+                    max_new_tokens=self.cfg.max_new_tokens,
+                    num_beams=key[1],
+                    do_sample=temp > 0,
+                    temperature=temp if temp > 0 else 1.0,
+                    eos_token_id=self.cfg.eos_token_id,
+                    pad_token_id=self.cfg.pad_token_id,
+                    kv_int8=self.cfg.kv_int8,
+                    use_flash_decode=self._use_flash,
+                )
+                self._beam_programs[key] = jax.jit(
+                    partial(beam_decode_from_sequence, self.llm_cfg,
+                            gen=gen, lora_scaling=self.lora_scaling,
+                            dt=self._dtype))
+            self._rng, wave_rng = jax.random.split(self._rng)
+            toks = self._beam_programs[key](
+                self.params, seqs, lengths, lora=self.lora, rng=wave_rng)
+            self._pending_beams.append(
+                (toks, [(rid, mnt) for (rid, _e, _l, _t, mnt, _k) in wave]))
+            self.stats["beam_waves"] = self.stats.get("beam_waves", 0) + 1
 
     # -- scheduler internals ------------------------------------------------
     def _admit(self) -> None:

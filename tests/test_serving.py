@@ -227,3 +227,84 @@ def test_kv_int8_serving_matches_kv_int8_oracle(llm):
                 break
             want.append(int(t))
         assert results[rid] == want, f"request {rid}"
+
+
+def _beam_oracle(cfg, params, emb, length, num_beams, budget=None):
+    """Batch-1 static beam decode for one request (the engine's beam lane
+    must be token-exact vs this — same program, batched differently)."""
+    from icl_speech_text_llm_tpu.inference.beam import beam_decode_from_sequence
+
+    L = 32
+    padded = np.zeros((1, L, cfg.dim), np.float32)
+    padded[0, :length] = emb
+    gen = GenerationConfig(max_new_tokens=MAX_NEW, num_beams=num_beams,
+                           eos_token_id=EOS, pad_token_id=0)
+    toks = np.asarray(
+        beam_decode_from_sequence(cfg, params, jnp.asarray(padded),
+                                  jnp.asarray([length]), gen)
+    )[0]
+    out = []
+    for t in toks:
+        if t == EOS or (budget is not None and len(out) >= budget):
+            break
+        out.append(int(t))
+    return out
+
+
+def test_per_request_num_beams(llm):
+    """Beam requests route through the beam lane and come back token-exact
+    vs the static beam program; greedy requests interleaved in the same run
+    stay token-exact vs the greedy oracle (ref models/multi_task_model.py:
+    130-149 — per-task num_beams in the router)."""
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(32,), eos_token_id=EOS, admit_batch=2)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    reqs = _requests(cfg, 5, seed=3)
+    rids, kinds = [], []
+    for i, (emb, length) in enumerate(reqs):
+        if i % 2 == 0:
+            rids.append(eng.submit(emb, length, num_beams=3))
+            kinds.append("beam")
+        else:
+            rids.append(eng.submit(emb, length))
+            kinds.append("greedy")
+    results = eng.run()
+    assert eng.stats.get("beam_waves", 0) >= 1
+    for rid, kind, (emb, length) in zip(rids, kinds, reqs):
+        if kind == "beam":
+            want = _beam_oracle(cfg, params, emb, length, num_beams=3)
+        else:
+            want = _oracle(cfg, params, emb, length)
+        assert results[rid] == want, (rid, kind, results[rid], want)
+
+
+def test_beam_lane_budget_and_width_grouping(llm):
+    """Waves group by (bucket, K): mixed widths in one submission burst still
+    come back right, and a per-request max_new_tokens truncates the beam
+    hypothesis."""
+    cfg, params = llm
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(32,), eos_token_id=EOS, admit_batch=2)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    reqs = _requests(cfg, 4, seed=11)
+    rids = [
+        eng.submit(reqs[0][0], reqs[0][1], num_beams=2),
+        eng.submit(reqs[1][0], reqs[1][1], num_beams=4),
+        eng.submit(reqs[2][0], reqs[2][1], num_beams=2, max_new_tokens=2),
+        eng.submit(reqs[3][0], reqs[3][1], num_beams=4),
+    ]
+    results = eng.run()
+    assert results[rids[0]] == _beam_oracle(cfg, params, *reqs[0], num_beams=2)
+    assert results[rids[1]] == _beam_oracle(cfg, params, *reqs[1], num_beams=4)
+    assert results[rids[2]] == _beam_oracle(cfg, params, *reqs[2], num_beams=2,
+                                            budget=2)
+    assert results[rids[3]] == _beam_oracle(cfg, params, *reqs[3], num_beams=4)
+    assert len(results[rids[2]]) <= 2
+
+
+def test_num_beams_validation(llm):
+    cfg, params = llm
+    eng = ContinuousBatchingEngine(cfg, params, ServingConfig(prompt_buckets=(32,)))
+    with pytest.raises(ValueError):
+        eng.submit(np.zeros((4, cfg.dim), np.float32), 4, num_beams=0)
