@@ -115,13 +115,15 @@ def _sample_next(logits, temps, rng):
 
 
 def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
-                    lengths, slots, temps, rng, lora, lora_scaling):
+                    lengths, slots, temps, rng, lora, lora_scaling,
+                    lora_ids=None):
     """Batched prefill at bucket length L; KV blocks land in slots ``slots``.
 
     ``seqs`` (n, L, D) — n waiting requests admitted together (one MXU-friendly
     prefill instead of the round-1 serial batch-1 admissions); padding rows
     point their slot index at the scratch slot. Returns (pooled cache,
-    first generated token per row).
+    first generated token per row). With ``lora_ids`` (n,), ``lora`` is a
+    stack_lora_bank tree and each row prefills under its own adapter.
     """
     n, L, _ = seqs.shape
     local = init_kv_cache(llm_cfg, n, L, dtype=dtype, quant="k_s" in cache)
@@ -129,7 +131,7 @@ def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
     hidden, local = decoder_forward(
         llm_cfg, params, seqs, mask, jnp.broadcast_to(jnp.arange(L), (n, L)),
         cache=local, lora=lora, lora_scaling=lora_scaling,
-        use_flash_decode=use_flash,
+        use_flash_decode=use_flash, lora_ids=lora_ids,
     )
     last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
     first_logits = lm_logits(llm_cfg, params, last)[:, 0]  # (n, V)
@@ -149,11 +151,14 @@ def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
 
 
 def _decode_kernel(llm_cfg, scfg, n_inner, dtype, use_flash, params, cache,
-                   tok, cur_len, done, temps, rng, lora, lora_scaling):
+                   tok, cur_len, done, temps, rng, lora, lora_scaling,
+                   lora_ids=None):
     """``n_inner`` fused decode steps for every slot (one host round-trip).
 
     Inactive slots ride along masked to pad. Returns the emitted token block
-    (n_inner, S) so the host scheduler syncs once per block, not per token."""
+    (n_inner, S) so the host scheduler syncs once per block, not per token.
+    With ``lora_ids`` (S+1,), ``lora`` is a stack_lora_bank tree and each
+    slot decodes under its occupant's adapter."""
     dt = dtype
 
     def body(carry, step_rng):
@@ -164,6 +169,7 @@ def _decode_kernel(llm_cfg, scfg, n_inner, dtype, use_flash, params, cache,
             llm_cfg, params, emb, mask, cur_len[:, None],
             cache=cache, cache_positions=cur_len, lora=lora,
             lora_scaling=lora_scaling, use_flash_decode=use_flash,
+            lora_ids=lora_ids,
         )
         logits = lm_logits(llm_cfg, params, hidden)[:, 0]
         nxt = _sample_next(logits, temps, step_rng)
@@ -204,6 +210,17 @@ class ContinuousBatchingEngine:
         self.llm_cfg, self.params, self.cfg = llm_cfg, params, cfg
         self.lora, self.lora_scaling = lora, lora_scaling
         S = cfg.num_slots
+        # multi-LoRA serving: ``lora`` may be a stack_lora_bank tree (leaves
+        # (n_layers, n_adapters, ·) — ndim 4 vs a single adapter's 3). One
+        # slot pool then serves per-request adapters: slots carry their
+        # occupant's adapter id and every matmul gathers its sample's rank-r
+        # factors (models/llama.py:_proj lora_ids path) — the production
+        # shape of the reference's per-task adapters (multi-task router +
+        # symbol-adapter phase artifacts).
+        lora_leaves = jax.tree_util.tree_leaves(lora) if lora is not None else []
+        self._n_adapters = (lora_leaves[0].shape[1]
+                            if lora_leaves and lora_leaves[0].ndim == 4 else 0)
+        self._adapter_ids = jnp.zeros((S + 1,), jnp.int32)
         self._scratch = S  # extra pool row that absorbs admission padding
         self._rng = jax.random.PRNGKey(seed)
         self._temps = jnp.zeros((S + 1,), jnp.float32)
@@ -288,7 +305,8 @@ class ContinuousBatchingEngine:
 
     # -- public API ---------------------------------------------------------
     def submit(self, seq_emb, length: int, temperature: float = 0.0,
-               max_new_tokens: Optional[int] = None, num_beams: int = 1) -> int:
+               max_new_tokens: Optional[int] = None, num_beams: int = 1,
+               adapter_id: int = 0) -> int:
         """Enqueue a request: (L, D) prompt embeddings + true length.
 
         ``seq_emb`` may be a numpy array or a device (jax) array — device
@@ -305,7 +323,9 @@ class ContinuousBatchingEngine:
         device program), so beam traffic stays on the zero-blocking dispatch
         chain — results materialize at the same deferred flush as slot
         traffic. ``temperature > 0`` with beams runs stochastic beam search
-        (temperature is baked into the compiled program; waves group by it)."""
+        (temperature is baked into the compiled program; waves group by it).
+        ``adapter_id`` picks the request's LoRA when the engine was built
+        with a ``stack_lora_bank`` tree (multi-LoRA serving)."""
         _bucket_for(int(length), self.cfg.prompt_buckets)  # fail fast on oversize
         mnt = self.cfg.max_new_tokens if max_new_tokens is None else int(max_new_tokens)
         if not 1 <= mnt <= self.cfg.max_new_tokens:
@@ -314,13 +334,19 @@ class ContinuousBatchingEngine:
                 f"(cache sizing), got {mnt}")
         if num_beams < 1:
             raise ValueError(f"num_beams must be >= 1, got {num_beams}")
+        if adapter_id and not 0 <= adapter_id < self._n_adapters:
+            raise ValueError(
+                f"adapter_id {adapter_id} needs a stack_lora_bank engine with "
+                f"> {adapter_id} adapters (have {self._n_adapters or 'a single adapter'})")
         rid = self._next_id
         self._next_id += 1
         if num_beams > 1:
             self._beam_queue.append(
-                (rid, seq_emb, int(length), float(temperature), mnt, int(num_beams)))
+                (rid, seq_emb, int(length), float(temperature), mnt,
+                 int(num_beams), int(adapter_id)))
         else:
-            self._queue.append((rid, seq_emb, int(length), float(temperature), mnt))
+            self._queue.append(
+                (rid, seq_emb, int(length), float(temperature), mnt, int(adapter_id)))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -366,6 +392,7 @@ class ContinuousBatchingEngine:
             self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
                 self.params, self._cache, self._tok, self._cur_len, self._done,
                 self._temps, step_rng, self.lora, self.lora_scaling,
+                lora_ids=self._adapter_ids if self._n_adapters else None,
             )
             self._pending_rows.append(toks)
             self.stats["decode_blocks"] += 1
@@ -442,11 +469,15 @@ class ContinuousBatchingEngine:
         while self._beam_queue:
             head = self._beam_queue[0]
             L = _bucket_for(head[2], self.cfg.prompt_buckets)
-            key = (L, head[5], head[3])  # (bucket, num_beams, temperature)
+            # (bucket, num_beams, temperature, adapter_id) — the adapter is
+            # baked per wave by slicing the bank host-side, so the beam
+            # program itself never changes shape across adapters
+            key = (L, head[5], head[3], head[6])
             wave, keep = [], deque()
             while self._beam_queue and len(wave) < self.cfg.admit_batch:
                 req = self._beam_queue.popleft()
-                if (_bucket_for(req[2], self.cfg.prompt_buckets), req[5], req[3]) == key:
+                if (_bucket_for(req[2], self.cfg.prompt_buckets),
+                        req[5], req[3], req[6]) == key:
                     wave.append(req)
                 else:
                     keep.append(req)
@@ -455,7 +486,7 @@ class ContinuousBatchingEngine:
 
             nb = self.cfg.admit_batch
             rows = []
-            for (_rid, emb, _length, _t, _m, _k) in wave:
+            for (_rid, emb, _length, _t, _m, _k, _a) in wave:
                 if isinstance(emb, jnp.ndarray):
                     rows.append(jnp.pad(
                         emb[:L], ((0, L - min(emb.shape[0], L)), (0, 0))))
@@ -469,6 +500,10 @@ class ContinuousBatchingEngine:
             lengths = jnp.asarray(
                 [r[2] for r in wave] + [1] * (nb - len(wave)), jnp.int32)
 
+            lora = self.lora
+            if self._n_adapters:
+                aid = key[3]
+                lora = jax.tree_util.tree_map(lambda x: x[:, aid], self.lora)
             if key not in self._beam_programs:
                 temp = key[2]
                 gen = GenerationConfig(
@@ -487,9 +522,9 @@ class ContinuousBatchingEngine:
                             dt=self._dtype))
             self._rng, wave_rng = jax.random.split(self._rng)
             toks = self._beam_programs[key](
-                self.params, seqs, lengths, lora=self.lora, rng=wave_rng)
+                self.params, seqs, lengths, lora=lora, rng=wave_rng)
             self._pending_beams.append(
-                (toks, [(rid, mnt) for (rid, _e, _l, _t, mnt, _k) in wave]))
+                (toks, [(rid, mnt) for (rid, _e, _l, _t, mnt, _k, _a) in wave]))
             self.stats["beam_waves"] = self.stats.get("beam_waves", 0) + 1
 
     # -- scheduler internals ------------------------------------------------
@@ -521,7 +556,7 @@ class ContinuousBatchingEngine:
         nb = self.cfg.admit_batch
         # build the (nb, L, D) embedding block — device rows stay on device
         rows = []
-        for (_, emb, length, _t, _m) in wave:
+        for (_, emb, length, _t, _m, _a) in wave:
             if isinstance(emb, jnp.ndarray):
                 rows.append(jnp.pad(emb[:L], ((0, L - min(emb.shape[0], L)), (0, 0))))
             else:
@@ -535,6 +570,7 @@ class ContinuousBatchingEngine:
         lengths = np.array([r[2] for r in wave] + [1] * (nb - n), np.int32)
         slot_ids = np.array(free[:n] + [self._scratch] * (nb - n), np.int32)
         temps = np.array([r[3] for r in wave] + [0.0] * (nb - n), np.float32)
+        aids = np.array([r[5] for r in wave] + [0] * (nb - n), np.int32)
 
         key = (L, nb)
         self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
@@ -549,8 +585,11 @@ class ContinuousBatchingEngine:
             self.params, self._cache, seqs, jnp.asarray(lengths),
             jnp.asarray(slot_ids), jnp.asarray(temps), admit_rng,
             lora=self.lora, lora_scaling=self.lora_scaling,
+            lora_ids=jnp.asarray(aids) if self._n_adapters else None,
         )
         idx = jnp.asarray(slot_ids)
+        if self._n_adapters:
+            self._adapter_ids = self._adapter_ids.at[idx].set(jnp.asarray(aids))
         self._temps = self._temps.at[idx].set(jnp.asarray(temps))
         self._tok = self._tok.at[idx].set(first_toks)
         self._cur_len = self._cur_len.at[idx].set(jnp.asarray(lengths))
@@ -562,7 +601,7 @@ class ContinuousBatchingEngine:
         row = jnp.zeros((len(self._slots) + 1,), jnp.int32).at[idx].set(first_toks)
         self._pending_rows.append(row[None, :])
         entries = []
-        for j, (rid, _e, length, _t, mnt) in enumerate(wave):
+        for j, (rid, _e, length, _t, mnt, _a) in enumerate(wave):
             i = int(slot_ids[j])
             entries.append((i, rid, length, mnt))
             self._sched[i] = 1  # the prefill's first token

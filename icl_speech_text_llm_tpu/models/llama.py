@@ -18,6 +18,7 @@ SALMONN; ref: models/custom_salmon.py:630-636,704-720) and Qwen2 LLM
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -242,18 +243,44 @@ def init_lora(key, cfg: DecoderConfig, lora_cfg: LoraConfig) -> Dict[str, Any]:
     return tree
 
 
-def _proj(x, w, lora_layer, name: str, scaling: float, bias=None):
+def stack_lora_bank(adapters) -> Dict[str, Any]:
+    """Stack same-shaped LoRA adapter trees into a multi-adapter BANK.
+
+    Bank leaves are (n_layers, n_adapters, ...) — the adapter axis sits
+    AFTER the layer axis so the decoder's layer scan slices it away and each
+    layer body sees (n_adapters, d_in, r) to gather per-sample adapters from
+    (multi-LoRA serving: one slot pool, per-request adapter —
+    ``decoder_forward(..., lora=bank, lora_ids=(B,) int32)``). All adapters
+    must share rank and targets (pad ranks beforehand if they differ)."""
+    if not adapters:
+        raise ValueError("stack_lora_bank needs at least one adapter")
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=1), *adapters)
+
+
+def _proj(x, w, lora_layer, name: str, scaling: float, bias=None,
+          lora_ids=None):
     """x @ w (+ bias) with optional additive LoRA delta.
 
     ``w`` may be a plain array or an int8 ``{"q", "s"}`` dict from
-    ops/quant.quantize_decoder (weight-only quantized decode)."""
+    ops/quant.quantize_decoder (weight-only quantized decode).
+    With ``lora_ids`` (B,), ``lora_layer`` holds a bank — leaves
+    (n_adapters, d_in, r) — and each sample applies its own adapter."""
     from ..ops.quant import dequant_matmul
 
     y = dequant_matmul(x, w)
     if lora_layer is not None and name in lora_layer:
         a = lora_layer[name]["a"].astype(x.dtype)
         b = lora_layer[name]["b"].astype(x.dtype)
-        y = y + ((x @ a) @ b) * scaling
+        if lora_ids is None:
+            y = y + ((x @ a) @ b) * scaling
+        else:
+            # per-sample adapter: gather this layer's (n_adapters, ·, ·)
+            # bank rows, then batched GEMMs. The gathered operands are
+            # rank-r thin — bytes ≈ B·(d_in + d_out)·r, noise next to the
+            # base weight read even at decode batch sizes.
+            delta = jnp.einsum("btd,bdr->btr", x, a[lora_ids])
+            y = y + jnp.einsum("btr,brd->btd", delta, b[lora_ids]) * scaling
     if bias is not None:
         y = y + bias.astype(x.dtype)
     return y
@@ -279,15 +306,17 @@ def _layer_forward(
     ring=None,  # (Mesh, axis name) → KV-distributed ring attention
     attn_override=None,  # callable(q, k, v) heads-first — replaces attention
     use_flash_decode=True,  # False → XLA decode attention (GSPMD-partitionable)
+    lora_ids=None,  # (B,) → lora_layer is a BANK; per-sample adapter gather
 ):
     B, T, _ = x.shape
     hd = cfg.hd
     attn, mlp = layer["attn"], layer["mlp"]
+    pj = partial(_proj, lora_ids=lora_ids)
 
     h = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
-    q = _proj(h, attn["wq"], lora_layer, "wq", lora_scaling, attn.get("bq"))
-    k = _proj(h, attn["wk"], lora_layer, "wk", lora_scaling, attn.get("bk"))
-    v = _proj(h, attn["wv"], lora_layer, "wv", lora_scaling, attn.get("bv"))
+    q = pj(h, attn["wq"], lora_layer, "wq", lora_scaling, attn.get("bq"))
+    k = pj(h, attn["wk"], lora_layer, "wk", lora_scaling, attn.get("bk"))
+    v = pj(h, attn["wv"], lora_layer, "wv", lora_scaling, attn.get("bv"))
 
     q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -437,12 +466,12 @@ def _layer_forward(
             v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
             out = dot_product_attention(q, k_att, v_att, mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_heads * hd)
-    x = x + _proj(out, attn["wo"], lora_layer, "wo", lora_scaling)
+    x = x + pj(out, attn["wo"], lora_layer, "wo", lora_scaling)
 
     h = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
-    gate = _proj(h, mlp["w_gate"], lora_layer, "w_gate", lora_scaling)
-    up = _proj(h, mlp["w_up"], lora_layer, "w_up", lora_scaling)
-    x = x + _proj(jax.nn.silu(gate) * up, mlp["w_down"], lora_layer, "w_down", lora_scaling)
+    gate = pj(h, mlp["w_gate"], lora_layer, "w_gate", lora_scaling)
+    up = pj(h, mlp["w_up"], lora_layer, "w_up", lora_scaling)
+    x = x + pj(jax.nn.silu(gate) * up, mlp["w_down"], lora_layer, "w_down", lora_scaling)
     return x, new_cache_kv
 
 
@@ -527,6 +556,9 @@ def decoder_forward(
     use_flash_decode: bool = True,  # False → XLA decode attention; required
     # under multi-chip GSPMD jit, where a Mosaic custom call cannot be
     # auto-partitioned (it would force the sharded cache to replicate)
+    lora_ids: Optional[jnp.ndarray] = None,  # (B,) → ``lora`` is a BANK
+    # (stack_lora_bank leaves (n_layers, n_adapters, ·)); each sample applies
+    # its own adapter — multi-LoRA serving
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Run the decoder stack. Returns (hidden_states, updated_cache).
 
@@ -558,10 +590,12 @@ def decoder_forward(
 
     def _fwd(cfg, layer, lo, scaling, x, mask, positions, inv_freq, ckv,
              cpos, fl):
-        # ring bound by closure: a Mesh cannot traverse jax.checkpoint
+        # ring and lora_ids bound by closure: a Mesh cannot traverse
+        # jax.checkpoint, and lora_ids is layer-invariant
         return _layer_forward(cfg, layer, lo, scaling, x, mask, positions,
                               inv_freq, ckv, cpos, fl, ring_fwd,
-                              use_flash_decode=use_flash_decode)
+                              use_flash_decode=use_flash_decode,
+                              lora_ids=lora_ids)
 
     layer_fn = _fwd
     if remat:

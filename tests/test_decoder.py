@@ -162,3 +162,34 @@ def test_kv_int8_decode_close_to_bf16_and_plumbing(setup):
         outs[quant] = np.asarray(h[:, 0])
     scale = np.abs(outs[False]).max()
     assert np.abs(outs[True] - outs[False]).max() < 0.02 * scale
+
+
+def test_lora_bank_per_sample_matches_single_adapter(setup):
+    """decoder_forward(lora=stack_lora_bank(...), lora_ids=...) applies each
+    sample's own adapter — rows must match single-adapter forwards exactly
+    (multi-LoRA serving building block)."""
+    from icl_speech_text_llm_tpu.models.llama import stack_lora_bank
+
+    s = setup
+    lcfg = LoraConfig(rank=4, targets=("wq", "wv", "w_down"))
+    adapters = []
+    for seed in (3, 4):
+        a = init_lora(jax.random.PRNGKey(seed), CFG, lcfg)
+        # B-init is zero (identity adapter) — perturb so adapters differ
+        adapters.append(jax.tree_util.tree_map(
+            lambda x, _s=seed: x + 0.03 * (_s + 1), a))
+    bank = stack_lora_bank(adapters)
+
+    ids = jnp.array([1, 0], jnp.int32)
+    h_bank, _ = decoder_forward(
+        CFG, s["params"], s["embeds"], s["mask"], s["positions"],
+        lora=bank, lora_scaling=lcfg.scaling, lora_ids=ids,
+    )
+    for row, aid in enumerate([1, 0]):
+        h_one, _ = decoder_forward(
+            CFG, s["params"], s["embeds"][row:row + 1],
+            s["mask"][row:row + 1], s["positions"][row:row + 1],
+            lora=adapters[aid], lora_scaling=lcfg.scaling,
+        )
+        np.testing.assert_allclose(np.asarray(h_bank[row]), np.asarray(h_one[0]),
+                                   atol=2e-5, rtol=2e-5)

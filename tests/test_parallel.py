@@ -183,7 +183,11 @@ def test_sharded_serving_matches_unsharded(cpu_devices):
             for l in rng.randint(5, 30, size=5)]
 
     def run(engine):
-        rids = [engine.submit(emb, length) for emb, length in reqs]
+        # last request exercises the beam lane under the same engine (beam
+        # search is a separate compiled program — it must shard/gate like
+        # the slot-pool programs do)
+        rids = [engine.submit(emb, length, num_beams=(2 if i == len(reqs) - 1 else 1))
+                for i, (emb, length) in enumerate(reqs)]
         res = engine.run()
         return [res[r] for r in rids]
 

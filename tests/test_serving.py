@@ -308,3 +308,60 @@ def test_num_beams_validation(llm):
     eng = ContinuousBatchingEngine(cfg, params, ServingConfig(prompt_buckets=(32,)))
     with pytest.raises(ValueError):
         eng.submit(np.zeros((4, cfg.dim), np.float32), 4, num_beams=0)
+
+
+def test_multi_lora_bank_serving(llm):
+    """One slot pool serving two LoRA adapters: every request decodes under
+    its own adapter_id and must be token-exact vs a static decode with that
+    adapter (beam requests too — their waves group by adapter). The
+    production shape of the reference's per-task adapters."""
+    import jax
+
+    from icl_speech_text_llm_tpu.inference.beam import beam_decode_from_sequence
+    from icl_speech_text_llm_tpu.models.llama import (
+        LoraConfig, init_lora, stack_lora_bank)
+
+    cfg, params = llm
+    lcfg = LoraConfig(rank=4, targets=("wq", "wv"))
+    adapters = [
+        jax.tree_util.tree_map(lambda x, _s=s: x + 0.05 * (_s + 1),
+                               init_lora(jax.random.PRNGKey(s), cfg, lcfg))
+        for s in (7, 8)
+    ]
+    bank = stack_lora_bank(adapters)
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(32,), eos_token_id=EOS, admit_batch=2)
+    eng = ContinuousBatchingEngine(cfg, params, scfg, lora=bank,
+                                   lora_scaling=lcfg.scaling)
+    reqs = _requests(cfg, 5, seed=21)
+    plan = [(0, 1), (1, 1), (0, 1), (1, 2), (0, 2)]  # (adapter_id, num_beams)
+    rids = [eng.submit(emb, length, adapter_id=aid, num_beams=k)
+            for (emb, length), (aid, k) in zip(reqs, plan)]
+    results = eng.run()
+
+    def static_one(emb, length, aid, k):
+        L = 32
+        padded = np.zeros((1, L, cfg.dim), np.float32)
+        padded[0, :length] = emb
+        gen = GenerationConfig(max_new_tokens=MAX_NEW, num_beams=k,
+                               eos_token_id=EOS, pad_token_id=0)
+        fn = beam_decode_from_sequence if k > 1 else decode_from_sequence
+        toks = np.asarray(fn(cfg, params, jnp.asarray(padded),
+                             jnp.asarray([length]), gen,
+                             lora=adapters[aid], lora_scaling=lcfg.scaling))[0]
+        out = []
+        for t in toks:
+            if t == EOS:
+                break
+            out.append(int(t))
+        return out
+
+    for rid, (emb, length), (aid, k) in zip(rids, reqs, plan):
+        assert results[rid] == static_one(emb, length, aid, k), (rid, aid, k)
+
+
+def test_adapter_id_requires_bank(llm):
+    cfg, params = llm
+    eng = ContinuousBatchingEngine(cfg, params, ServingConfig(prompt_buckets=(32,)))
+    with pytest.raises(ValueError):
+        eng.submit(np.zeros((4, cfg.dim), np.float32), 4, adapter_id=1)
