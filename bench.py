@@ -551,7 +551,7 @@ def bench_serving(jax, tok):
 
     def time_prefill(key, iters=8):
         seq, _ = embed_jit(params, batches[0])
-        L, nb = key
+        L, nb, _pb = key  # _pb = prefix bucket (0: this workload shares no prefix)
         seqs = seq[:, :L]
         lengths = jnp.asarray(np.asarray(batches[0]["seq_lengths"])[:nb])
         slots = jnp.full((nb,), engine._scratch, jnp.int32)

@@ -84,6 +84,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving mesh 'dp,fsdp,tp' (sizes must multiply to "
                         "the device count): tp-sharded decode over the pod — "
                         "params megatron-sharded, pooled KV sharded by head")
+    p.add_argument("--shared_prefix", action="store_true",
+                   help="pinned-fewshot serving: register the FIRST sample's "
+                        "ICL header (template + exemplar block) once via the "
+                        "engine's prefix cache, then prefill only each "
+                        "request's query suffix — admission drops from "
+                        "O(header+query) prefill FLOPs to O(query) + one HBM "
+                        "copy (every request reuses the pinned exemplar set)")
+    p.add_argument("--prefix_buckets", type=str, default="512",
+                   help="comma-separated prefix-length buckets (with "
+                        "--shared_prefix)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -97,6 +107,9 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     is_qwen = args.model_type.lower().startswith("qwen")
+    if args.shared_prefix and args.num_beams > 1:
+        raise SystemExit("--shared_prefix is slot-pool only (the beam lane "
+                         "prefills its full prompt); drop --num_beams")
 
     tok = get_tokenizer(None)
     model = create_model(args.model_type, seed=args.seed)
@@ -122,6 +135,8 @@ def main(argv=None):
         admit_batch=args.admit_batch,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         kv_int8=args.kv_int8,
+        prefix_buckets=tuple(int(b) for b in args.prefix_buckets.split(","))
+        if args.shared_prefix else (),
     )
     mesh = None
     if args.mesh:
@@ -160,6 +175,42 @@ def main(argv=None):
 
     n = min(len(dataset), args.max_samples)
 
+    def _collate_to_batch(samples, cfg_pack):
+        packed = collate_icl_batch(samples, tok, cfg_pack)
+        return {
+            "text_tokens": np.asarray(packed.text_tokens),
+            "gather_idx": np.asarray(packed.gather_idx),
+            "seq_lengths": np.asarray(packed.seq_lengths),
+            **{k: np.asarray(v) for k, v in packed.audio.items()},
+        }
+
+    prefix_id = None
+    if args.shared_prefix:
+        # pinned-fewshot mode: every request reuses the FIRST sample's
+        # exemplar block — registered once, its KV copied per admission
+        from ..data.collate import ICLSample
+        from ..data.prompts import split_prompt_plan
+
+        s0 = dataset[0]
+        pre_plan, _ = split_prompt_plan(s0.plan)
+        pre_sample = ICLSample(
+            plan=pre_plan, completion="",
+            slot_audio={k: v for k, v in s0.slot_audio.items()
+                        if k in pre_plan.slots},
+            extras=s0.extras)
+        pre_pack = PackConfig(
+            seq_len=args.seq_len, text_len=args.text_len,
+            max_slots=max(1, len(pre_plan.slots)),
+            audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,
+            audio_len_fn=getattr(model.cfg, "audio_len_fn", None),
+        )
+        pre_batch = _collate_to_batch([pre_sample], pre_pack)
+        pre_seq, _ = embed_fn(pre_batch)
+        pre_len = int(pre_batch["seq_lengths"][0])
+        prefix_id = engine.register_prefix(pre_seq[0, :pre_len], pre_len)
+        logging.info("registered shared prefix: %d positions (%d exemplar "
+                     "audio slots)", pre_len, len(pre_plan.slots))
+
     def submit_group(samples):
         """One batched collate+encode for a wave of requests.
 
@@ -172,13 +223,28 @@ def main(argv=None):
         real = len(wave)
         while len(wave) < args.admit_batch:
             wave.append(wave[-1])
-        packed = collate_icl_batch(wave, tok, pack_cfg)
-        batch = {
-            "text_tokens": np.asarray(packed.text_tokens),
-            "gather_idx": np.asarray(packed.gather_idx),
-            "seq_lengths": np.asarray(packed.seq_lengths),
-            **{k: np.asarray(v) for k, v in packed.audio.items()},
-        }
+        cfg_pack = pack_cfg
+        if prefix_id is not None:
+            # submit only each request's query suffix; the pinned exemplar
+            # header decodes from the registered prefix KV
+            from ..data.collate import ICLSample
+            from ..data.prompts import split_prompt_plan
+
+            def _suffix(s):
+                _, suf = split_prompt_plan(s.plan)
+                return ICLSample(
+                    plan=suf, completion=s.completion,
+                    slot_audio={k: v for k, v in s.slot_audio.items()
+                                if k in suf.slots},
+                    extras=s.extras)
+
+            wave = [_suffix(s) for s in wave]
+            cfg_pack = PackConfig(
+                seq_len=args.seq_len, text_len=args.text_len, max_slots=1,
+                audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,
+                audio_len_fn=getattr(model.cfg, "audio_len_fn", None),
+            )
+        batch = _collate_to_batch(wave, cfg_pack)
         seq, _ = embed_fn(batch)
         # lengths come straight from the host-side packed batch — syncing the
         # jit output here would serialize every admission wave on the device
@@ -188,7 +254,8 @@ def main(argv=None):
             length = int(lengths[r])
             rids.append(engine.submit(seq[r, :length], length,
                                       temperature=args.temperature,
-                                      num_beams=args.num_beams))
+                                      num_beams=args.num_beams,
+                                      prefix_id=prefix_id))
         return rids
 
     if args.warmup:

@@ -262,6 +262,42 @@ def _split_default(prompt: str, num_speech_examples: int, has_main: bool) -> Pro
     return PromptPlan(segments=segments, slots=slots, prompt=prompt)
 
 
+#: the boundary between the reusable ICL header (instruction template +
+#: few-shot exemplar block) and the per-request query section — every prompt
+#: builder in this module renders it (ref: data/model_processors.py:737-776)
+QUERY_MARKER = "Now analyze this input:"
+
+
+def split_prompt_plan(plan: PromptPlan):
+    """Split a rendered plan at ``QUERY_MARKER`` → (prefix, suffix) plans.
+
+    The prefix (template + exemplar block, with its exemplar audio slots) is
+    what a serving deployment pins per task and registers ONCE via
+    ``ContinuousBatchingEngine.register_prefix``; the suffix (query section,
+    carrying the main audio slot) is what each request prefills.
+
+    Tokenization note: segments are tokenized part-wise already (the
+    reference's convention, ref models/custom_salmon.py:178-181), so the only
+    possible divergence from the unsplit prompt is one BPE merge at the seam
+    inside the segment that contains the marker.
+    """
+    for i, seg in enumerate(plan.segments):
+        pos = seg.find(QUERY_MARKER)
+        if pos < 0:
+            continue
+        p = plan.prompt.find(QUERY_MARKER)
+        prefix = PromptPlan(
+            segments=plan.segments[:i] + [seg[:pos]], slots=plan.slots[:i],
+            prompt=plan.prompt[:p] if p >= 0 else "")
+        suffix = PromptPlan(
+            segments=[seg[pos:]] + plan.segments[i + 1:], slots=plan.slots[i:],
+            prompt=plan.prompt[p:] if p >= 0 else "")
+        return prefix, suffix
+    raise ValueError(
+        f"plan has no {QUERY_MARKER!r} to split at (segments: "
+        f"{[s[:30] for s in plan.segments]})")
+
+
 def _split_sqa(prompt: str, num_speech_examples: int, has_main: bool) -> PromptPlan:
     """SQA split: per example <Document{i}> then <Question{i}>; then the final
     <Document>/<Question> pair (ref: models/custom_salmon.py:136-148,161-165)."""

@@ -49,7 +49,7 @@ from ..models.llama import (
     init_kv_cache,
     lm_logits,
 )
-from ..ops.attention import make_decode_mask, make_prefill_mask
+from ..ops.attention import make_chunk_mask, make_decode_mask, make_prefill_mask
 
 
 @dataclass(frozen=True)
@@ -74,12 +74,19 @@ class ServingConfig:
     # footprint AND the decode-phase KV read; dequant fuses into the
     # flash-decode kernel. TPU-serving addition, no reference equivalent.
     kv_int8: bool = False
+    # prefix caching: buckets for ``register_prefix`` — a shared prompt
+    # PREFIX (the k-shot exemplar block every request of an ICL task reuses,
+    # ref: the per-task fewshot header the reference re-prefills per
+    # utterance) is prefilled ONCE and its KV copied into each admitted
+    # slot; requests then prefill only their suffix. Empty = disabled.
+    prefix_buckets: Tuple[int, ...] = ()
 
     @property
     def cache_len(self) -> int:
         # 128-aligned so the Pallas decode-attention kernel can tile the
         # pooled cache; surplus positions are never attended or written
-        return -(-(max(self.prompt_buckets) + self.max_new_tokens) // 128) * 128
+        pre = max(self.prefix_buckets) if self.prefix_buckets else 0
+        return -(-(max(self.prompt_buckets) + pre + self.max_new_tokens) // 128) * 128
 
 
 @dataclass
@@ -141,6 +148,71 @@ def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
     for j in range(n):  # n is static and small (admit_sizes)
         # rank-generic over the cache tree: k/v are (layers, pool, Hkv, S, hd),
         # int8-KV scale leaves are (layers, pool, Hkv, S)
+        cache = {
+            key: jax.lax.dynamic_update_slice(
+                cache[key], local[key][:, j:j + 1],
+                (zero, slots[j]) + (zero,) * (cache[key].ndim - 2))
+            for key in cache
+        }
+    return cache, first_toks
+
+
+def _prefix_register_kernel(llm_cfg, scfg, dtype, use_flash, params, emb,
+                            lengths, lora, lora_scaling):
+    """Prefill a shared prompt PREFIX once and keep its KV block.
+
+    ``emb`` (1, Pb, D) at prefix bucket Pb, ``lengths`` (1,). Returns the
+    prefix KV tree with the batch row stripped — leaves (n_layers, Hkv, Pb,
+    hd) (+ (n_layers, Hkv, Pb) scales under kv_int8). RoPE positions are
+    absolute 0..Pb-1, so the block drops verbatim into the front of any
+    slot's cache."""
+    Pb = emb.shape[1]
+    local = init_kv_cache(llm_cfg, 1, Pb, dtype=dtype, quant=scfg.kv_int8)
+    mask = make_prefill_mask(lengths, Pb)
+    _, local = decoder_forward(
+        llm_cfg, params, emb, mask, jnp.broadcast_to(jnp.arange(Pb), (1, Pb)),
+        cache=local, lora=lora, lora_scaling=lora_scaling,
+        use_flash_decode=use_flash,
+    )
+    return {k: v[:, 0] for k, v in local.items()}
+
+
+def _prefill_suffix_kernel(llm_cfg, scfg, dtype, use_flash, params, cache,
+                           prefix, plens, seqs, lengths, slots, temps, rng,
+                           lora, lora_scaling, lora_ids=None):
+    """Suffix prefill over pre-registered prefix KV (prefix-cached admission).
+
+    ``prefix``: stacked KV tree, leaves (n_layers, n, Hkv, Pb, hd) — each
+    row's registered exemplar block; ``plens`` (n,) true prefix lengths.
+    Row ``j``'s suffix queries sit at absolute positions ``plens[j] + i``;
+    its KV lands at cache rows [plens[j], plens[j]+L) via the decoder's
+    per-row write path, so the slot's cache stays CONTIGUOUS and decode
+    proceeds exactly as for a full prefill (cur_len = plens + lengths).
+    Prefix bucket padding rows beyond a row's true prefix length are either
+    overwritten by its suffix block or sit past cur_len — never attended."""
+    n, L, _ = seqs.shape
+    Pb = prefix["k"].shape[3]
+    Cb = Pb + L
+    # the prefix block IS the front of the local cache; pad the position
+    # axis (3 for k/v AND scales) out to Cb for the suffix writes
+    local = {
+        k: jnp.pad(v, [(0, 0)] * 3 + [(0, Cb - Pb)] + [(0, 0)] * (v.ndim - 4))
+        for k, v in prefix.items()
+    }
+    mask = make_chunk_mask(plens, L, Cb)
+    positions = plens[:, None] + jnp.arange(L)[None, :]
+    hidden, local = decoder_forward(
+        llm_cfg, params, seqs, mask, positions,
+        cache=local, cache_positions=plens, lora=lora,
+        lora_scaling=lora_scaling, use_flash_decode=use_flash,
+        lora_ids=lora_ids,
+    )
+    last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
+    first_logits = lm_logits(llm_cfg, params, last)[:, 0]
+    first_toks = _sample_next(first_logits, temps, rng)
+
+    zero = jnp.int32(0)
+    for j in range(n):
         cache = {
             key: jax.lax.dynamic_update_slice(
                 cache[key], local[key][:, j:j + 1],
@@ -252,7 +324,11 @@ class ContinuousBatchingEngine:
         self._queue: deque = deque()
         self._results: Dict[int, List[int]] = {}
         self._next_id = 0
-        self._prefill = {}  # (bucket L, n) -> jitted fn
+        self._prefill = {}  # (bucket L, n[, prefix bucket]) -> jitted fn
+        # prefix cache: registered shared-prefix KV blocks —
+        # (tree leaves (n_layers, Hkv, Pb, hd), true length, Pb, adapter_id)
+        self._prefix_store: List[Tuple[Dict[str, jnp.ndarray], int, int, int]] = []
+        self._prefix_reg = {}  # prefix bucket Pb -> jitted registration fn
         # beam lane: requests with num_beams > 1 bypass the slot pool — a
         # whole beam search is ONE device program (beam_decode_from_sequence),
         # so beam waves join the async dispatch chain as peers of the decode
@@ -304,9 +380,51 @@ class ContinuousBatchingEngine:
         )
 
     # -- public API ---------------------------------------------------------
+    def register_prefix(self, seq_emb, length: int, adapter_id: int = 0) -> int:
+        """Prefill a shared prompt PREFIX once; return its id for ``submit``.
+
+        The TPU-serving answer to ICL's dominant cost: every request of a
+        k-shot task repeats the same exemplar block, which the reference
+        re-prefills per utterance (ref: models/custom_salmon.py:704-720
+        generate over the whole assembled sequence). Here the block's KV is
+        computed once and COPIED into each admitted slot's cache (an HBM
+        copy, ~100× cheaper than recomputing the prefill FLOPs at 7B);
+        requests pass ``prefix_id=`` and prefill only their query suffix.
+
+        Needs ``cfg.prefix_buckets``. Under a multi-LoRA bank the prefix is
+        computed under ``adapter_id`` and only same-adapter requests may use
+        it (prefix KV depends on the adapter). Device cost per prefix:
+        n_layers × Hkv × Pb × hd KV (×2, halved under kv_int8)."""
+        if not self.cfg.prefix_buckets:
+            raise ValueError(
+                "register_prefix needs ServingConfig.prefix_buckets")
+        if adapter_id and not 0 <= adapter_id < self._n_adapters:
+            raise ValueError(
+                f"adapter_id {adapter_id} out of range ({self._n_adapters})")
+        Pb = _bucket_for(int(length), self.cfg.prefix_buckets)
+        if Pb not in self._prefix_reg:
+            self._prefix_reg[Pb] = jax.jit(partial(
+                _prefix_register_kernel, self.llm_cfg, self.cfg, self._dtype,
+                self._use_flash))
+        if isinstance(seq_emb, jnp.ndarray):
+            padded = jnp.pad(
+                seq_emb[:Pb], ((0, Pb - min(seq_emb.shape[0], Pb)), (0, 0)))
+        else:
+            h = np.zeros((Pb, seq_emb.shape[-1]), seq_emb.dtype)
+            h[: min(len(seq_emb), Pb)] = seq_emb[:Pb]
+            padded = jnp.asarray(h)
+        lora = self.lora
+        if self._n_adapters:
+            lora = jax.tree_util.tree_map(lambda x: x[:, adapter_id], self.lora)
+        tree = self._prefix_reg[Pb](
+            self.params, padded[None], jnp.asarray([length], jnp.int32),
+            lora=lora, lora_scaling=self.lora_scaling)
+        self._prefix_store.append((tree, int(length), Pb, int(adapter_id)))
+        return len(self._prefix_store) - 1
+
     def submit(self, seq_emb, length: int, temperature: float = 0.0,
                max_new_tokens: Optional[int] = None, num_beams: int = 1,
-               adapter_id: int = 0) -> int:
+               adapter_id: int = 0, prefix_id: Optional[int] = None) -> int:
         """Enqueue a request: (L, D) prompt embeddings + true length.
 
         ``seq_emb`` may be a numpy array or a device (jax) array — device
@@ -325,7 +443,10 @@ class ContinuousBatchingEngine:
         traffic. ``temperature > 0`` with beams runs stochastic beam search
         (temperature is baked into the compiled program; waves group by it).
         ``adapter_id`` picks the request's LoRA when the engine was built
-        with a ``stack_lora_bank`` tree (multi-LoRA serving)."""
+        with a ``stack_lora_bank`` tree (multi-LoRA serving). ``prefix_id``
+        (from ``register_prefix``) makes ``seq_emb`` a SUFFIX: the request
+        decodes as if the registered prefix were prepended, but admission
+        prefills only the suffix (slot-pool lane only)."""
         _bucket_for(int(length), self.cfg.prompt_buckets)  # fail fast on oversize
         mnt = self.cfg.max_new_tokens if max_new_tokens is None else int(max_new_tokens)
         if not 1 <= mnt <= self.cfg.max_new_tokens:
@@ -338,6 +459,19 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"adapter_id {adapter_id} needs a stack_lora_bank engine with "
                 f"> {adapter_id} adapters (have {self._n_adapters or 'a single adapter'})")
+        if prefix_id is not None:
+            if not 0 <= prefix_id < len(self._prefix_store):
+                raise ValueError(f"unknown prefix_id {prefix_id} "
+                                 f"(registered: {len(self._prefix_store)})")
+            if num_beams > 1:
+                raise ValueError("prefix caching is slot-pool only; the beam "
+                                 "lane prefills its full prompt")
+            if self._prefix_store[prefix_id][3] != adapter_id:
+                raise ValueError(
+                    f"prefix {prefix_id} was registered under adapter "
+                    f"{self._prefix_store[prefix_id][3]}, request uses "
+                    f"{adapter_id} (prefix KV depends on the adapter)")
+        pid = -1 if prefix_id is None else int(prefix_id)
         rid = self._next_id
         self._next_id += 1
         if num_beams > 1:
@@ -346,7 +480,8 @@ class ContinuousBatchingEngine:
                  int(num_beams), int(adapter_id)))
         else:
             self._queue.append(
-                (rid, seq_emb, int(length), float(temperature), mnt, int(adapter_id)))
+                (rid, seq_emb, int(length), float(temperature), mnt,
+                 int(adapter_id), pid))
         return rid
 
     def run(self) -> Dict[int, List[int]]:
@@ -537,26 +672,32 @@ class ContinuousBatchingEngine:
             if not free:
                 return
             # take the queue head plus FIFO-following requests in the SAME
-            # prompt bucket, up to the free slots and the largest admit size
-            head_bucket = _bucket_for(self._queue[0][2], self.cfg.prompt_buckets)
+            # (prompt bucket, prefix bucket) — different prefix_ids sharing a
+            # prefix bucket batch into one wave (per-row KV gather)
+            def _key(req):
+                pb = self._prefix_store[req[6]][2] if req[6] >= 0 else 0
+                return (_bucket_for(req[2], self.cfg.prompt_buckets), pb)
+
+            head_key = _key(self._queue[0])
             limit = min(len(free), self.cfg.admit_batch)
             wave, keep = [], deque()
             while self._queue and len(wave) < limit:
                 req = self._queue.popleft()
-                if _bucket_for(req[2], self.cfg.prompt_buckets) == head_bucket:
+                if _key(req) == head_key:
                     wave.append(req)
                 else:
                     keep.append(req)
             while keep:
                 self._queue.appendleft(keep.pop())
-            self._admit_wave(wave, head_bucket, free)
+            self._admit_wave(wave, head_key[0], free, prefix_bucket=head_key[1])
 
-    def _admit_wave(self, wave, L: int, free: List[int]) -> None:
+    def _admit_wave(self, wave, L: int, free: List[int],
+                    prefix_bucket: int = 0) -> None:
         n = len(wave)
         nb = self.cfg.admit_batch
         # build the (nb, L, D) embedding block — device rows stay on device
         rows = []
-        for (_, emb, length, _t, _m, _a) in wave:
+        for (_, emb, length, _t, _m, _a, _p) in wave:
             if isinstance(emb, jnp.ndarray):
                 rows.append(jnp.pad(emb[:L], ((0, L - min(emb.shape[0], L)), (0, 0))))
             else:
@@ -572,27 +713,48 @@ class ContinuousBatchingEngine:
         temps = np.array([r[3] for r in wave] + [0.0] * (nb - n), np.float32)
         aids = np.array([r[5] for r in wave] + [0] * (nb - n), np.int32)
 
-        key = (L, nb)
+        key = (L, nb, prefix_bucket)
         self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
         if key not in self._prefill:
+            kern = _prefill_suffix_kernel if prefix_bucket else _prefill_kernel
             self._prefill[key] = jax.jit(
-                partial(_prefill_kernel, self.llm_cfg, self.cfg, self._dtype,
+                partial(kern, self.llm_cfg, self.cfg, self._dtype,
                         self._use_flash),
                 donate_argnums=(1,),
             )
         self._rng, admit_rng = jax.random.split(self._rng)
-        self._cache, first_toks = self._prefill[key](
-            self.params, self._cache, seqs, jnp.asarray(lengths),
-            jnp.asarray(slot_ids), jnp.asarray(temps), admit_rng,
-            lora=self.lora, lora_scaling=self.lora_scaling,
-            lora_ids=jnp.asarray(aids) if self._n_adapters else None,
-        )
+        if prefix_bucket:
+            # per-row prefix KV gather: stack the wave's registered blocks
+            # (padding rows reuse row 0's block with prefix length 0 — its
+            # values are overwritten by or sit past the row's cur_len)
+            trees = [self._prefix_store[r[6]][0] for r in wave]
+            plens = np.array([self._prefix_store[r[6]][1] for r in wave]
+                             + [0] * (nb - n), np.int32)
+            trees += [trees[0]] * (nb - n)
+            prefix = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=1), *trees)
+            self._cache, first_toks = self._prefill[key](
+                self.params, self._cache, prefix, jnp.asarray(plens), seqs,
+                jnp.asarray(lengths), jnp.asarray(slot_ids),
+                jnp.asarray(temps), admit_rng,
+                lora=self.lora, lora_scaling=self.lora_scaling,
+                lora_ids=jnp.asarray(aids) if self._n_adapters else None,
+            )
+            cur_lens = lengths + plens
+        else:
+            self._cache, first_toks = self._prefill[key](
+                self.params, self._cache, seqs, jnp.asarray(lengths),
+                jnp.asarray(slot_ids), jnp.asarray(temps), admit_rng,
+                lora=self.lora, lora_scaling=self.lora_scaling,
+                lora_ids=jnp.asarray(aids) if self._n_adapters else None,
+            )
+            cur_lens = lengths
         idx = jnp.asarray(slot_ids)
         if self._n_adapters:
             self._adapter_ids = self._adapter_ids.at[idx].set(jnp.asarray(aids))
         self._temps = self._temps.at[idx].set(jnp.asarray(temps))
         self._tok = self._tok.at[idx].set(first_toks)
-        self._cur_len = self._cur_len.at[idx].set(jnp.asarray(lengths))
+        self._cur_len = self._cur_len.at[idx].set(jnp.asarray(cur_lens))
         self._done = self._done.at[idx].set(first_toks == self.cfg.eos_token_id)
         # scratch row never decodes as live
         self._done = self._done.at[self._scratch].set(True)
@@ -601,7 +763,7 @@ class ContinuousBatchingEngine:
         row = jnp.zeros((len(self._slots) + 1,), jnp.int32).at[idx].set(first_toks)
         self._pending_rows.append(row[None, :])
         entries = []
-        for j, (rid, _e, length, _t, mnt, _a) in enumerate(wave):
+        for j, (rid, _e, length, _t, mnt, _a, _p) in enumerate(wave):
             i = int(slot_ids[j])
             entries.append((i, rid, length, mnt))
             self._sched[i] = 1  # the prefill's first token

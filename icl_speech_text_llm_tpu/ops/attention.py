@@ -76,3 +76,14 @@ def make_prefill_mask(lengths: jnp.ndarray, seq_len: int) -> jnp.ndarray:
 def make_decode_mask(lengths: jnp.ndarray, cache_len: int) -> jnp.ndarray:
     """(B, 1, 1, cache_len) mask for single-token decode: attend positions < length."""
     return (jnp.arange(cache_len)[None, :] < lengths[:, None])[:, None, None]
+
+
+def make_chunk_mask(starts: jnp.ndarray, tq: int, cache_len: int) -> jnp.ndarray:
+    """(B, 1, tq, cache_len) mask for a suffix/chunked prefill over an
+    existing cache: query ``i`` sits at absolute position ``starts[b] + i``
+    and attends every cache position ≤ it (its own chunk's earlier queries
+    plus everything already cached — prefix-cached serving, chunked prefill).
+    """
+    qi = starts[:, None] + jnp.arange(tq)[None, :]  # (B, tq) absolute positions
+    kj = jnp.arange(cache_len)[None, None, :]
+    return (kj <= qi[:, :, None])[:, None]

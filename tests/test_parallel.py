@@ -177,16 +177,23 @@ def test_sharded_serving_matches_unsharded(cpu_devices):
     cfg = DECODER_CONFIGS["tiny"]
     params = init_decoder(jax.random.PRNGKey(0), cfg)
     scfg = ServingConfig(num_slots=2, max_new_tokens=5,
-                         prompt_buckets=(16, 32), eos_token_id=2)
+                         prompt_buckets=(16, 32), prefix_buckets=(16,),
+                         eos_token_id=2)
     rng = np.random.RandomState(1)
     reqs = [(rng.randn(int(l), cfg.dim).astype(np.float32) * 0.3, int(l))
             for l in rng.randint(5, 30, size=5)]
 
+    prefix = rng.randn(12, cfg.dim).astype(np.float32) * 0.3
+
     def run(engine):
         # last request exercises the beam lane under the same engine (beam
         # search is a separate compiled program — it must shard/gate like
-        # the slot-pool programs do)
-        rids = [engine.submit(emb, length, num_beams=(2 if i == len(reqs) - 1 else 1))
+        # the slot-pool programs do); the first goes through the prefix
+        # cache (registration + suffix prefill must partition too)
+        pid = engine.register_prefix(prefix, len(prefix))
+        rids = [engine.submit(emb, length,
+                              num_beams=(2 if i == len(reqs) - 1 else 1),
+                              prefix_id=(pid if i == 0 else None))
                 for i, (emb, length) in enumerate(reqs)]
         res = engine.run()
         return [res[r] for r in rids]

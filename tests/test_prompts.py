@@ -103,3 +103,38 @@ def test_sqa_stray_gt_quirk_preserved():
         TEMPLATE, "doc", "q?", SQA_EXAMPLES, input_mode="speech_only", fewshot_mode="speech"
     )
     assert "Question: ><Speech>" in plan.prompt
+
+
+def test_split_prompt_plan_roundtrip():
+    """split_prompt_plan: prefix carries the exemplar block + its audio
+    slots, suffix carries the query + main slot, and segments/slots
+    reassemble to the original plan."""
+    from icl_speech_text_llm_tpu.data.prompts import (
+        QUERY_MARKER, build_default_prompt, split_prompt_plan)
+
+    examples = [{"text": f"t{i}", "label": "positive"} for i in range(3)]
+    plan = build_default_prompt(
+        "Classify the emotion.", "query utterance", examples,
+        input_mode="speech_only", fewshot_mode="speech",
+    )
+    prefix, suffix = split_prompt_plan(plan)
+    assert [s for s in prefix.slots] == [("example", i) for i in range(3)]
+    assert suffix.slots == [("main", 0)]
+    assert suffix.segments[0].startswith(QUERY_MARKER)
+    # reassembly: segments interleave with slots exactly as before the split
+    joined_segments = (prefix.segments[:-1]
+                       + [prefix.segments[-1] + suffix.segments[0]]
+                       + suffix.segments[1:])
+    assert joined_segments == plan.segments
+    assert prefix.slots + suffix.slots == plan.slots
+    assert prefix.prompt + suffix.prompt == plan.prompt
+
+
+def test_split_prompt_plan_no_marker_raises():
+    from icl_speech_text_llm_tpu.data.prompts import (
+        PromptPlan, split_prompt_plan)
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_prompt_plan(PromptPlan(segments=["no marker"], slots=[],
+                                     prompt="no marker"))
