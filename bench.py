@@ -465,6 +465,161 @@ def bench_qwen2_audio_7b_speech_fs(jax, tok):
     }
 
 
+def bench_prefix(jax, tok):
+    """Prefix-cached admission vs full-prompt admission (BENCH_PREFIX=1).
+
+    Pinned-fewshot ICL serving: all requests share one k=5 exemplar header,
+    registered once via the engine's prefix cache — an admission wave then
+    encodes + prefills only the query suffix (1 clip, ~130 positions)
+    instead of the whole prompt (k+1 clips, ~900 positions). Decode programs
+    are identical either way, so the serving uplift is exactly the admission
+    delta; both paths are timed as pipelined per-program device times (the
+    same drift-free accounting as bench_serving)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from icl_speech_text_llm_tpu.data.collate import ICLSample, collate_icl_batch
+    from icl_speech_text_llm_tpu.data.packing import PackConfig
+    from icl_speech_text_llm_tpu.data.prompts import (
+        build_default_prompt,
+        split_prompt_plan,
+    )
+    from icl_speech_text_llm_tpu.inference.serving import (
+        ServingConfig,
+        _prefill_kernel,
+        _prefill_suffix_kernel,
+        _prefix_register_kernel,
+        salmonn_prompt_embeddings,
+    )
+    from icl_speech_text_llm_tpu.models.llama import init_kv_cache
+    from icl_speech_text_llm_tpu.models.salmonn import (
+        init_salmonn,
+        salmonn_bench,
+        salmonn_tiny,
+    )
+    from icl_speech_text_llm_tpu.registry import DatasetType, get_dataset_config
+
+    tiny = bool(os.environ.get("BENCH_CPU"))
+    B, NEW_TOKENS, SLOTS = 4, 10, 8
+    secs = 1 if tiny else 5
+    cfg = salmonn_tiny() if tiny else salmonn_bench()
+    params = init_salmonn(jax.random.PRNGKey(0), cfg)
+    task = get_dataset_config(DatasetType.VOXCELEB)
+    rng = np.random.RandomState(0)
+    examples = [{"text": f"few shot exemplar number {j}",
+                 "label": ["positive", "negative", "neutral"][j % 3]}
+                for j in range(K_SHOTS)]
+    ex_audio = {("example", j): rng.randn(16000 * secs).astype(np.float32) * 0.05
+                for j in range(K_SHOTS)}
+
+    full_samples, suffix_samples, prefix_sample = [], [], None
+    for i in range(B):
+        plan = build_default_prompt(task.prompt_template, f"utterance {i}",
+                                    examples, input_mode="speech_only",
+                                    fewshot_mode="speech")
+        q = rng.randn(16000 * secs).astype(np.float32) * 0.05
+        audio = dict(ex_audio)
+        audio[("main", 0)] = q
+        full_samples.append(
+            ICLSample(plan=plan, completion="positive", slot_audio=audio))
+        pre, suf = split_prompt_plan(plan)
+        if prefix_sample is None:
+            prefix_sample = ICLSample(plan=pre, completion="",
+                                      slot_audio=dict(ex_audio))
+        suffix_samples.append(
+            ICLSample(plan=suf, completion="positive",
+                      slot_audio={("main", 0): q}))
+
+    vocab = cfg.llm.vocab_size
+
+    def to_dev(samples, seq_len, text_len, max_slots):
+        pc = PackConfig(seq_len=seq_len, text_len=text_len,
+                        max_slots=max_slots,
+                        audio_tokens_per_slot=cfg.audio_tokens_per_slot)
+        bh = collate_icl_batch(samples, tok, pc)
+        return {
+            "text_tokens": jnp.asarray(np.minimum(bh.text_tokens, vocab - 1)),
+            "gather_idx": jnp.asarray(bh.gather_idx),
+            "seq_lengths": jnp.asarray(bh.seq_lengths),
+            **{k: jnp.asarray(v) for k, v in bh.audio.items()},
+        }
+
+    full_dev = to_dev(full_samples, 1536, 768, K_SHOTS + 1)
+    sfx_dev = to_dev(suffix_samples, 256, 192, 1)
+    pre_dev = to_dev([prefix_sample], 1024, 640, K_SHOTS)
+
+    embed = jax.jit(functools.partial(salmonn_prompt_embeddings, cfg))
+    scfg_full = ServingConfig(
+        num_slots=SLOTS, max_new_tokens=NEW_TOKENS, prompt_buckets=(1536,),
+        admit_batch=B, eos_token_id=tok.eos_token_id,
+        pad_token_id=tok.pad_token_id, kv_int8=_KV_INT8)
+    scfg_pre = ServingConfig(
+        num_slots=SLOTS, max_new_tokens=NEW_TOKENS, prompt_buckets=(256,),
+        prefix_buckets=(1024,), admit_batch=B, eos_token_id=tok.eos_token_id,
+        pad_token_id=tok.pad_token_id, kv_int8=_KV_INT8)
+    lp = params["llm"]
+    # no donation: the timing loops re-feed the same pool buffers
+    pf_full = jax.jit(functools.partial(
+        _prefill_kernel, cfg.llm, scfg_full, jnp.float32, True))
+    pf_sfx = jax.jit(functools.partial(
+        _prefill_suffix_kernel, cfg.llm, scfg_pre, jnp.float32, True))
+    reg = jax.jit(functools.partial(
+        _prefix_register_kernel, cfg.llm, scfg_pre, jnp.float32, True))
+
+    slots = jnp.arange(B, dtype=jnp.int32)
+    temps = jnp.zeros((B,), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    pool_full = init_kv_cache(cfg.llm, SLOTS + 1, scfg_full.cache_len,
+                              dtype=jnp.float32, quant=_KV_INT8)
+    pool_pre = init_kv_cache(cfg.llm, SLOTS + 1, scfg_pre.cache_len,
+                             dtype=jnp.float32, quant=_KV_INT8)
+
+    seq_full, _ = embed(params, full_dev)
+    seq_sfx, _ = embed(params, sfx_dev)
+    seq_pre, _ = embed(params, pre_dev)
+    pre_len = int(np.asarray(pre_dev["seq_lengths"])[0])
+    tree = reg(lp, seq_pre[:, :1024], jnp.asarray([pre_len], jnp.int32),
+               lora=params.get("lora"), lora_scaling=1.0)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]),
+        tree)
+    plens = jnp.full((B,), pre_len, jnp.int32)
+
+    _, t_embed_full = _timed(lambda: embed(params, full_dev)[0], rounds=2)
+    _, t_embed_sfx = _timed(lambda: embed(params, sfx_dev)[0], rounds=2)
+    _, t_pf_full = _timed(
+        lambda: pf_full(lp, pool_full, seq_full, full_dev["seq_lengths"],
+                        slots, temps, key, params.get("lora"), 1.0)[1],
+        rounds=2)
+    _, t_pf_sfx = _timed(
+        lambda: pf_sfx(lp, pool_pre, stacked, plens, seq_sfx[:, :256],
+                       sfx_dev["seq_lengths"], slots, temps, key,
+                       params.get("lora"), 1.0)[1],
+        rounds=2)
+    _, t_reg = _timed(
+        lambda: reg(lp, seq_pre[:, :1024], jnp.asarray([pre_len], jnp.int32),
+                    lora=params.get("lora"), lora_scaling=1.0)["k"],
+        rounds=2)
+
+    adm_full = t_embed_full + t_pf_full
+    adm_pre = t_embed_sfx + t_pf_sfx
+    return {
+        "admission_speedup": round(adm_full / adm_pre, 2),
+        "t_admission_full_ms": round(adm_full * 1e3, 2),
+        "t_admission_prefix_ms": round(adm_pre * 1e3, 2),
+        "t_embed_full_ms": round(t_embed_full * 1e3, 2),
+        "t_prefill_full_ms": round(t_pf_full * 1e3, 2),
+        "t_embed_suffix_ms": round(t_embed_sfx * 1e3, 2),
+        "t_prefill_suffix_ms": round(t_pf_sfx * 1e3, 2),
+        "t_register_once_ms": round(t_reg * 1e3, 2),
+        "prefix_positions": pre_len,
+        "suffix_positions": int(np.asarray(sfx_dev["seq_lengths"]).max()),
+        "note": f"pinned k={K_SHOTS} exemplar header; per-wave admission "
+                "device time, decode identical either way",
+    }
+
+
 def bench_serving(jax, tok):
     """Serving (continuous batching) vs the static engine in DEVICE-TIME
     accounting (VERDICT r2 weak #4): the tunnel's hour-to-hour drift exceeds
@@ -796,6 +951,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"serving bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             result["serving"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    if os.environ.get("BENCH_PREFIX"):  # prefix-cached admission, opt-in
+        try:
+            result["prefix"] = bench_prefix(jax, tok)
+        except Exception as e:  # noqa: BLE001
+            print(f"prefix bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            result["prefix"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     if os.environ.get("BENCH_TRAIN7B"):  # real-scale LoRA train step, opt-in
         try:
             result["train7b"] = bench_train_7b(jax, tok)
