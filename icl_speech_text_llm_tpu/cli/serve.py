@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving mesh 'dp,fsdp,tp' (sizes must multiply to "
                         "the device count): tp-sharded decode over the pod — "
                         "params megatron-sharded, pooled KV sharded by head")
+    p.add_argument("--chunk_len", type=int, default=0,
+                   help="chunked prefill: admit prompts as fixed-size chunk "
+                        "dispatches with decode blocks interleaved between "
+                        "chunks, so a long admission stalls in-flight slots "
+                        "for one chunk instead of a whole bucket prefill "
+                        "(must divide every prompt bucket; 0 = off)")
     p.add_argument("--shared_prefix", action="store_true",
                    help="pinned-fewshot serving: register the FIRST sample's "
                         "ICL header (template + exemplar block) once via the "
@@ -137,6 +143,7 @@ def main(argv=None):
         kv_int8=args.kv_int8,
         prefix_buckets=tuple(int(b) for b in args.prefix_buckets.split(","))
         if args.shared_prefix else (),
+        chunk_len=args.chunk_len,
     )
     mesh = None
     if args.mesh:

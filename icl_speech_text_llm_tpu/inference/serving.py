@@ -80,6 +80,13 @@ class ServingConfig:
     # utterance) is prefilled ONCE and its KV copied into each admitted
     # slot; requests then prefill only their suffix. Empty = disabled.
     prefix_buckets: Tuple[int, ...] = ()
+    # chunked prefill: admission runs as ⌈L/chunk_len⌉ dispatches of a fixed
+    # (chunk_len, admit_batch) program instead of one monolithic bucket-long
+    # prefill, with a decode block for in-flight slots INTERLEAVED between
+    # chunks — a long admission no longer stalls every occupant's token
+    # cadence for its whole prefill, only for one chunk. 0 = off. Every
+    # prompt bucket must be a multiple of chunk_len.
+    chunk_len: int = 0
 
     @property
     def cache_len(self) -> int:
@@ -222,6 +229,53 @@ def _prefill_suffix_kernel(llm_cfg, scfg, dtype, use_flash, params, cache,
     return cache, first_toks
 
 
+def _chunk_step_kernel(llm_cfg, scfg, dtype, use_flash, params, local, chunk,
+                       starts, abs_lengths, tok_state, temps, rng,
+                       lora, lora_scaling, lora_ids=None):
+    """One prefill CHUNK into a wave-local cache (chunked admission).
+
+    ``local``: (n, Lloc) cache accumulated so far (zeros, or the padded
+    prefix KV for prefix-cached requests); ``chunk`` (n, C, D) the next C
+    prompt positions; ``starts`` (n,) per-row absolute write offsets
+    (prefix_len + chunk_index*C). Row ``j``'s last prompt position may fall
+    inside any chunk, so every chunk samples a candidate first token at
+    ``abs_lengths-1`` and keeps it only when that index lies in this chunk
+    — ``tok_state`` carries the winner across dispatches. Rows already past
+    their length ride along: their writes land at positions ≥ their final
+    cur_len and are never attended."""
+    n, C, _ = chunk.shape
+    Lloc = local["k"].shape[3]
+    mask = make_chunk_mask(starts, C, Lloc)
+    positions = starts[:, None] + jnp.arange(C)[None, :]
+    hidden, local = decoder_forward(
+        llm_cfg, params, chunk, mask, positions,
+        cache=local, cache_positions=starts, lora=lora,
+        lora_scaling=lora_scaling, use_flash_decode=use_flash,
+        lora_ids=lora_ids,
+    )
+    idx = abs_lengths - 1 - starts  # last prompt position, chunk-relative
+    in_chunk = (idx >= 0) & (idx < C)
+    last = jnp.take_along_axis(hidden, jnp.clip(idx, 0, C - 1)[:, None, None],
+                               axis=1)
+    logits = lm_logits(llm_cfg, params, last)[:, 0]
+    cand = _sample_next(logits, temps, rng)
+    return local, jnp.where(in_chunk, cand, tok_state)
+
+
+def _scatter_slots_kernel(cache, local, slots):
+    """Write each wave row's accumulated (Lloc) KV block into its slot."""
+    n = local["k"].shape[1]
+    zero = jnp.int32(0)
+    for j in range(n):
+        cache = {
+            key: jax.lax.dynamic_update_slice(
+                cache[key], local[key][:, j:j + 1],
+                (zero, slots[j]) + (zero,) * (cache[key].ndim - 2))
+            for key in cache
+        }
+    return cache
+
+
 def _decode_kernel(llm_cfg, scfg, n_inner, dtype, use_flash, params, cache,
                    tok, cur_len, done, temps, rng, lora, lora_scaling,
                    lora_ids=None):
@@ -329,6 +383,14 @@ class ContinuousBatchingEngine:
         # (tree leaves (n_layers, Hkv, Pb, hd), true length, Pb, adapter_id)
         self._prefix_store: List[Tuple[Dict[str, jnp.ndarray], int, int, int]] = []
         self._prefix_reg = {}  # prefix bucket Pb -> jitted registration fn
+        if cfg.chunk_len:
+            bad = [b for b in cfg.prompt_buckets if b % cfg.chunk_len]
+            if bad:
+                raise ValueError(
+                    f"chunk_len={cfg.chunk_len} must divide every prompt "
+                    f"bucket (offending: {bad})")
+        self._chunk = {}  # (chunk C, n, local len) -> jitted chunk step
+        self._scatter = {}  # (local len, n) -> jitted slot scatter
         # beam lane: requests with num_beams > 1 bypass the slot pool — a
         # whole beam search is ONE device program (beam_decode_from_sequence),
         # so beam waves join the async dispatch chain as peers of the decode
@@ -494,6 +556,19 @@ class ContinuousBatchingEngine:
         out, self._results = self._results, {}
         return out
 
+    def completed(self) -> Dict[int, List[int]]:
+        """Materialize deferred blocks and pop every FINISHED request's
+        result — streaming consumption between ``step`` calls, where ``run``
+        would block until the whole queue drains.
+
+        Each call is one host sync (the flush transfer), so a caller
+        polling every step trades the zero-sync dispatch chain for result
+        latency; polling every few steps (or at the ``max_pending_blocks``
+        cadence the engine already flushes at) keeps both."""
+        self._flush()
+        out, self._results = self._results, {}
+        return out
+
     def step(self) -> None:
         """Admit waiting requests into free slots and advance ``sync_every``
         fused decode steps; dispatch any waiting beam waves alongside.
@@ -511,33 +586,41 @@ class ContinuousBatchingEngine:
         long-``max_new_tokens`` configs."""
         self._admit()
         self._dispatch_beams()
-        riders = [i for i in range(len(self._slots)) if self._sched[i] is not None]
-        if riders and any(s is not None and s < self._budget[i]
-                          for i, s in enumerate(self._sched)):
-            # budget-spent occupants that never sampled EOS are done as far as
-            # the schedule is concerned; fold that host knowledge into the
-            # device mask so they stop sampling/advancing while they ride
-            spent = np.array(
-                [s is not None and s >= self._budget[i]
-                 for i, s in enumerate(self._sched)] + [True],  # scratch: done
-                bool)
-            if spent.any():
-                self._done = self._done | jnp.asarray(spent)
-            self._rng, step_rng = jax.random.split(self._rng)
-            self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
-                self.params, self._cache, self._tok, self._cur_len, self._done,
-                self._temps, step_rng, self.lora, self.lora_scaling,
-                lora_ids=self._adapter_ids if self._n_adapters else None,
-            )
-            self._pending_rows.append(toks)
-            self.stats["decode_blocks"] += 1
-            # snapshot WHICH slots rode this block: a slot admitted after
-            # this dispatch must not consume its rows at flush time
-            self._pending_meta.append(("decode", (self._n_inner, riders)))
-            for i in riders:
-                self._sched[i] += self._n_inner
+        self._decode_once()
         if len(self._pending_meta) + len(self._pending_beams) >= self.cfg.max_pending_blocks:
             self._flush()
+
+    def _decode_once(self) -> None:
+        """Dispatch one fused decode block for all live slots (no-op if none).
+
+        Also called between prefill CHUNKS under ``chunk_len`` so in-flight
+        slots keep emitting while a long admission streams in."""
+        riders = [i for i in range(len(self._slots)) if self._sched[i] is not None]
+        if not riders or not any(s is not None and s < self._budget[i]
+                                 for i, s in enumerate(self._sched)):
+            return
+        # budget-spent occupants that never sampled EOS are done as far as
+        # the schedule is concerned; fold that host knowledge into the
+        # device mask so they stop sampling/advancing while they ride
+        spent = np.array(
+            [s is not None and s >= self._budget[i]
+             for i, s in enumerate(self._sched)] + [True],  # scratch: done
+            bool)
+        if spent.any():
+            self._done = self._done | jnp.asarray(spent)
+        self._rng, step_rng = jax.random.split(self._rng)
+        self._cache, self._tok, self._cur_len, self._done, toks = self._decode(
+            self.params, self._cache, self._tok, self._cur_len, self._done,
+            self._temps, step_rng, self.lora, self.lora_scaling,
+            lora_ids=self._adapter_ids if self._n_adapters else None,
+        )
+        self._pending_rows.append(toks)
+        self.stats["decode_blocks"] += 1
+        # snapshot WHICH slots rode this block: a slot admitted after
+        # this dispatch must not consume its rows at flush time
+        self._pending_meta.append(("decode", (self._n_inner, riders)))
+        for i in riders:
+            self._sched[i] += self._n_inner
 
     def _flush(self) -> None:
         """Materialize ALL deferred token rows in one device→host transfer
@@ -715,14 +798,7 @@ class ContinuousBatchingEngine:
 
         key = (L, nb, prefix_bucket)
         self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
-        if key not in self._prefill:
-            kern = _prefill_suffix_kernel if prefix_bucket else _prefill_kernel
-            self._prefill[key] = jax.jit(
-                partial(kern, self.llm_cfg, self.cfg, self._dtype,
-                        self._use_flash),
-                donate_argnums=(1,),
-            )
-        self._rng, admit_rng = jax.random.split(self._rng)
+        prefix, plens = None, np.zeros((nb,), np.int32)
         if prefix_bucket:
             # per-row prefix KV gather: stack the wave's registered blocks
             # (padding rows reuse row 0's block with prefix length 0 — its
@@ -733,20 +809,40 @@ class ContinuousBatchingEngine:
             trees += [trees[0]] * (nb - n)
             prefix = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs, axis=1), *trees)
+        lora_ids = jnp.asarray(aids) if self._n_adapters else None
+        if self.cfg.chunk_len:
+            first_toks = self._admit_chunked(
+                seqs, lengths, slot_ids, temps, prefix, plens, L, nb, lora_ids)
+            cur_lens = lengths + plens
+        elif prefix_bucket:
+            if key not in self._prefill:
+                self._prefill[key] = jax.jit(
+                    partial(_prefill_suffix_kernel, self.llm_cfg, self.cfg,
+                            self._dtype, self._use_flash),
+                    donate_argnums=(1,),
+                )
+            self._rng, admit_rng = jax.random.split(self._rng)
             self._cache, first_toks = self._prefill[key](
                 self.params, self._cache, prefix, jnp.asarray(plens), seqs,
                 jnp.asarray(lengths), jnp.asarray(slot_ids),
                 jnp.asarray(temps), admit_rng,
                 lora=self.lora, lora_scaling=self.lora_scaling,
-                lora_ids=jnp.asarray(aids) if self._n_adapters else None,
+                lora_ids=lora_ids,
             )
             cur_lens = lengths + plens
         else:
+            if key not in self._prefill:
+                self._prefill[key] = jax.jit(
+                    partial(_prefill_kernel, self.llm_cfg, self.cfg,
+                            self._dtype, self._use_flash),
+                    donate_argnums=(1,),
+                )
+            self._rng, admit_rng = jax.random.split(self._rng)
             self._cache, first_toks = self._prefill[key](
                 self.params, self._cache, seqs, jnp.asarray(lengths),
                 jnp.asarray(slot_ids), jnp.asarray(temps), admit_rng,
                 lora=self.lora, lora_scaling=self.lora_scaling,
-                lora_ids=jnp.asarray(aids) if self._n_adapters else None,
+                lora_ids=lora_ids,
             )
             cur_lens = lengths
         idx = jnp.asarray(slot_ids)
@@ -769,6 +865,56 @@ class ContinuousBatchingEngine:
             self._sched[i] = 1  # the prefill's first token
             self._budget[i] = mnt
         self._pending_meta.append(("admit", entries))
+
+    def _admit_chunked(self, seqs, lengths, slot_ids, temps, prefix, plens,
+                       L: int, nb: int, lora_ids) -> jnp.ndarray:
+        """Chunked admission: ⌈L/chunk_len⌉ fixed-size prefill dispatches into
+        a wave-local cache, a decode block for in-flight slots interleaved
+        between chunks, then ONE scatter into the pooled slots. Returns the
+        wave's first generated tokens (accumulated across chunks — each row's
+        last prompt position falls in exactly one chunk)."""
+        C = self.cfg.chunk_len
+        Pb = prefix["k"].shape[3] if prefix is not None else 0
+        Lloc = Pb + L
+        if prefix is not None:
+            local = {
+                k: jnp.pad(v, [(0, 0)] * 3 + [(0, Lloc - Pb)]
+                           + [(0, 0)] * (v.ndim - 4))
+                for k, v in prefix.items()
+            }
+        else:
+            local = init_kv_cache(self.llm_cfg, nb, Lloc, dtype=self._dtype,
+                                  quant=self.cfg.kv_int8)
+        key = (C, nb, Lloc)
+        if key not in self._chunk:
+            self._chunk[key] = jax.jit(
+                partial(_chunk_step_kernel, self.llm_cfg, self.cfg,
+                        self._dtype, self._use_flash),
+                donate_argnums=(1,),
+            )
+        skey = (Lloc, nb)
+        if skey not in self._scatter:
+            self._scatter[skey] = jax.jit(_scatter_slots_kernel,
+                                          donate_argnums=(0,))
+        tok_state = jnp.zeros((nb,), jnp.int32)
+        abs_lengths = jnp.asarray(plens + lengths)
+        starts0 = jnp.asarray(plens)
+        temps_j = jnp.asarray(temps)
+        n_chunks = L // C
+        for i in range(n_chunks):
+            self._rng, crng = jax.random.split(self._rng)
+            local, tok_state = self._chunk[key](
+                self.params, local, seqs[:, i * C:(i + 1) * C],
+                starts0 + i * C, abs_lengths, tok_state, temps_j, crng,
+                self.lora, self.lora_scaling, lora_ids=lora_ids,
+            )
+            if i < n_chunks - 1:
+                self._decode_once()
+        self.stats["chunk_dispatches"] = (
+            self.stats.get("chunk_dispatches", 0) + n_chunks)
+        self._cache = self._scatter[skey](self._cache, local,
+                                          jnp.asarray(slot_ids))
+        return tok_state
 
     def _record(self, i: int, tok: int) -> None:
         """Append one freshly emitted token; finish on EOS or length cap.

@@ -148,3 +148,20 @@ def test_cache_len_covers_prefix(llm):
                          max_new_tokens=10)
     assert scfg.cache_len >= 128 + 512 + 10
     assert scfg.cache_len % 128 == 0
+
+
+def test_prefix_cache_with_chunked_prefill(llm):
+    """Prefix cache + chunked admission compose: the suffix streams in as
+    chunks over the padded prefix KV; token-exact vs the full-prompt engine."""
+    cfg, params = llm
+    prefix, suffixes = _full_prompts(cfg, 4, prefix_len=20, rng_seed=13)
+    baseline = _run_baseline(cfg, params, prefix, suffixes)
+
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(16,), prefix_buckets=(32,),
+                         eos_token_id=EOS, admit_batch=2, chunk_len=8)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    pid = eng.register_prefix(prefix, len(prefix))
+    rids = [eng.submit(suf, l, prefix_id=pid) for suf, l in suffixes]
+    res = eng.run()
+    assert [res[r] for r in rids] == baseline

@@ -365,3 +365,62 @@ def test_adapter_id_requires_bank(llm):
     eng = ContinuousBatchingEngine(cfg, params, ServingConfig(prompt_buckets=(32,)))
     with pytest.raises(ValueError):
         eng.submit(np.zeros((4, cfg.dim), np.float32), 4, adapter_id=1)
+
+
+def test_chunked_prefill_matches_unchunked(llm):
+    """chunk_len splits admission into fixed-size prefill dispatches with
+    decode blocks interleaved between chunks; results must be token-exact vs
+    the monolithic-prefill engine (greedy) on an oversubscribed workload."""
+    cfg, params = llm
+    reqs = _requests(cfg, 10, seed=33)
+
+    def run(scfg):
+        eng = ContinuousBatchingEngine(cfg, params, scfg)
+        rids = [eng.submit(emb, length) for emb, length in reqs]
+        res = eng.run()
+        return [res[r] for r in rids], eng.stats
+
+    base = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(32,), eos_token_id=EOS,
+                         admit_batch=2)
+    want, _ = run(base)
+    got, stats = run(ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                                   prompt_buckets=(32,), eos_token_id=EOS,
+                                   admit_batch=2, chunk_len=8))
+    assert got == want
+    assert stats["chunk_dispatches"] >= 4 * len(reqs) // 2  # 32/8 per wave
+
+
+def test_chunked_prefill_validation(llm):
+    cfg, params = llm
+    with pytest.raises(ValueError):  # bucket not a multiple of chunk_len
+        ContinuousBatchingEngine(
+            cfg, params, ServingConfig(prompt_buckets=(48,), chunk_len=32))
+
+
+def test_completed_streams_results_incrementally(llm):
+    """completed() pops finished requests between steps (streaming consumer);
+    the union over polls equals a drained run()."""
+    cfg, params = llm
+    reqs = _requests(cfg, 8, seed=44)
+    scfg = ServingConfig(num_slots=2, max_new_tokens=MAX_NEW,
+                         prompt_buckets=(32,), eos_token_id=EOS, admit_batch=2)
+    eng = ContinuousBatchingEngine(cfg, params, scfg)
+    rids = [eng.submit(emb, length) for emb, length in reqs]
+    seen = {}
+    polls_with_results = 0
+    for _ in range(200):
+        eng.step()
+        got = eng.completed()
+        assert not (set(got) & set(seen))  # a request finishes exactly once
+        polls_with_results += bool(got)
+        seen.update(got)
+        if len(seen) == len(reqs):
+            break
+    assert len(seen) == len(reqs)
+    assert polls_with_results > 1  # genuinely incremental, not one big drain
+
+    eng2 = ContinuousBatchingEngine(cfg, params, scfg)
+    rids2 = [eng2.submit(emb, length) for emb, length in reqs]
+    res2 = eng2.run()
+    assert [seen[r] for r in rids] == [res2[r] for r in rids2]
