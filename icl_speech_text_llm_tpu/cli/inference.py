@@ -11,6 +11,7 @@ Hermetic example (no SLUE data needed):
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 
 from ..data.factory import create_dataset
@@ -67,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fabricated schema-correct data instead of disk datasets")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--compile_cache", type=str,
+                   default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
+                   help="persistent XLA compilation cache dir: first compiles\n"
+                        "(20-40 s/program on TPU) become one-time across processes")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu'); default: auto")
     return p
@@ -79,6 +84,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from ..utils.perf import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     dataset_types = parse_dataset_types(args.dataset_type)
     max_samples = args.max_samples or args.debug_samples

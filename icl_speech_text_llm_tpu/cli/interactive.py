@@ -10,6 +10,7 @@ the model either fits in HBM or a sharded mesh is used.
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 import sys
 
@@ -51,12 +52,20 @@ def main(argv=None):
     p.add_argument("--peft_model_path", type=str, default=None)
     p.add_argument("--dataset_type", type=str, default="voxceleb")
     p.add_argument("--max_new_tokens", type=int, default=10)
+    p.add_argument("--compile_cache", type=str,
+                   default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
+                   help="persistent XLA compilation cache dir: first compiles\n"
+                        "(20-40 s/program on TPU) become one-time across processes")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from ..utils.perf import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     if args.peft_model_path:
         model = get_model_from_checkpoint(args.peft_model_path, args.model_type)

@@ -14,6 +14,7 @@ Hermetic example:
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import logging
 import time
@@ -103,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--compile_cache", type=str,
+                   default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
+                   help="persistent XLA compilation cache dir: first compiles\n"
+                        "(20-40 s/program on TPU) become one-time across processes")
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -112,6 +117,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from ..utils.perf import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
     is_qwen = args.model_type.lower().startswith("qwen")
     if args.shared_prefix and args.num_beams > 1:
         raise SystemExit("--shared_prefix is slot-pool only (the beam lane "

@@ -8,6 +8,7 @@ the 3-mode comprehensive validation in inference mode, writes detailed JSON.
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 
 from ..symbol_adapter import InferenceOrchestrator, TrainingConfig
@@ -26,12 +27,20 @@ def main(argv=None):
     p.add_argument("--val_max_samples", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--compile_cache", type=str,
+                   default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
+                   help="persistent XLA compilation cache dir: first compiles\n"
+                        "(20-40 s/program on TPU) become one-time across processes")
     p.add_argument("--platform", type=str, default=None)
     args = p.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from ..utils.perf import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     config = TrainingConfig()
     config.output_dir = args.output_dir

@@ -9,6 +9,7 @@ Hermetic example:
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 import random
 
@@ -78,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=16)
+    p.add_argument("--compile_cache", type=str,
+                   default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
+                   help="persistent XLA compilation cache dir: first compiles\n"
+                        "(20-40 s/program on TPU) become one-time across processes")
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -89,6 +94,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from ..utils.perf import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
     random.seed(args.seed)
     np.random.seed(args.seed)
 

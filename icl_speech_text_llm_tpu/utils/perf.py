@@ -9,6 +9,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import logging
+import os
 import time
 from collections import deque
 from typing import Dict, Optional
@@ -116,3 +117,27 @@ def log_system_info():
     except ImportError:
         pass
     logger.info(f"JAX backend: {jax.default_backend()}; devices: {jax.devices()}")
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Persist XLA compilations on disk across processes.
+
+    First compiles cost 20-40 s per program shape on TPU; the persistent
+    cache makes every later process (re-runs, eval sweeps, serving restarts)
+    start warm. Wired into every CLI as ``--compile_cache`` with the
+    ``ICL_TPU_COMPILE_CACHE`` env var as default; returns the directory in
+    effect (None = disabled). Safe to share between concurrent processes
+    (entries are content-addressed by HLO + compile options + backend).
+    """
+    import jax
+
+    path = path or os.environ.get("ICL_TPU_COMPILE_CACHE")
+    if not path:
+        return None
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even fast compiles: the dispatch-latency-bound tunnel makes
+    # every recompile user-visible, and entries are cheap
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
