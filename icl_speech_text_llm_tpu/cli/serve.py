@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (+per-position scales): halves the "
                         "decode-phase KV read and the pooled cache's HBM "
                         "footprint; dequant fuses into the flash-decode kernel")
+    p.add_argument("--lora_bank", type=str, default=None,
+                   help="comma-separated trainable-checkpoint dirs: their "
+                        "'lora' subtrees stack into a multi-adapter bank "
+                        "(training/checkpoint.load_lora_bank) and requests "
+                        "cycle adapter_id over them — one engine, per-request "
+                        "adapters (the reference's per-task artifacts)")
     p.add_argument("--mesh", type=str, default=None,
                    help="serving mesh 'dp,fsdp,tp' (sizes must multiply to "
                         "the device count): tp-sharded decode over the pod — "
@@ -125,6 +131,10 @@ def main(argv=None):
     if args.shared_prefix and args.num_beams > 1:
         raise SystemExit("--shared_prefix is slot-pool only (the beam lane "
                          "prefills its full prompt); drop --num_beams")
+    if args.shared_prefix and args.lora_bank:
+        raise SystemExit("--shared_prefix + --lora_bank: the demo registers "
+                         "one prefix (prefix KV is per-adapter); register "
+                         "per-adapter prefixes via the engine API instead")
 
     tok = get_tokenizer(None)
     model = create_model(args.model_type, seed=args.seed)
@@ -177,9 +187,18 @@ def main(argv=None):
         # on a sharded tree the scales/int8 outputs inherit the sharding
         llm_params = quantize_decoder(
             llm_params, bits=4 if args.quantize_int4 else 8)
+    lora = model.params.get("lora")
+    n_adapters = 0
+    if args.lora_bank:
+        from ..training.checkpoint import load_lora_bank
+
+        dirs = args.lora_bank.split(",")
+        lora = load_lora_bank(dirs)
+        n_adapters = len(dirs)
+        logging.info("multi-LoRA bank: %d adapters from %s", n_adapters, dirs)
     engine = ContinuousBatchingEngine(
         model.cfg.llm, llm_params, scfg,
-        lora=model.params.get("lora"),
+        lora=lora,
         lora_scaling=model.cfg.lora.scaling if model.cfg.lora is not None else 1.0,
         mesh=mesh,
     )
@@ -268,10 +287,13 @@ def main(argv=None):
         rids = []
         for r in range(real):
             length = int(lengths[r])
-            rids.append(engine.submit(seq[r, :length], length,
-                                      temperature=args.temperature,
-                                      num_beams=args.num_beams,
-                                      prefix_id=prefix_id))
+            rids.append(engine.submit(
+                seq[r, :length], length,
+                temperature=args.temperature,
+                num_beams=args.num_beams,
+                prefix_id=prefix_id,
+                # demo routing: requests cycle over the bank's adapters
+                adapter_id=(engine._next_id % n_adapters) if n_adapters else 0))
         return rids
 
     if args.warmup:

@@ -112,3 +112,26 @@ def apply_trainable(
         else:
             logger.warning(f"Skipping unknown checkpoint subtree: {key}")
     return out
+
+
+def load_lora_bank(ckpt_dirs) -> Dict[str, Any]:
+    """Stack the ``lora`` subtrees of N trainable checkpoints into a
+    multi-adapter BANK for multi-LoRA serving.
+
+    The reference keeps one fine-tuned adapter per task/phase as separate
+    checkpoint artifacts (symbol-adapter phases, per-task LoRAs); this loads
+    them side by side so ONE serving engine decodes per-request adapters
+    (models/llama.py:stack_lora_bank; adapter_id follows list order). All
+    checkpoints must share rank and target set."""
+    if not ckpt_dirs:
+        raise ValueError("load_lora_bank needs at least one checkpoint dir")
+    from ..models.llama import stack_lora_bank
+
+    adapters = []
+    for d in ckpt_dirs:
+        trainable = load_checkpoint(d)["trainable"]
+        if "lora" not in trainable:
+            raise KeyError(f"checkpoint {d} has no 'lora' subtree "
+                           f"(keys: {list(trainable)})")
+        adapters.append(trainable["lora"])
+    return stack_lora_bank(adapters)

@@ -32,7 +32,8 @@ _HEAVY_FILES = {
     "test_beats_fidelity.py", "test_benchmark_configs.py", "test_decoder.py",
     "test_driver_configs.py", "test_flash_attention.py",
     "test_generation_parity.py", "test_hf_fidelity.py",
-    "test_int4_matmul.py", "test_interactive_cli.py", "test_parallel.py",
+    "test_int4_matmul.py", "test_interactive_cli.py", "test_lora_bank_ckpt.py",
+    "test_parallel.py",
     "test_pipeline.py", "test_prefix_cache.py", "test_quant.py",
     "test_qwen_audio.py",
     "test_ring_attention.py", "test_salmonn_e2e.py",
