@@ -33,6 +33,18 @@ def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+_ASYNC_CKPTR = None  # one StandardCheckpointer so async writes can be awaited
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every ``save_checkpoint(block=False)`` write has landed.
+
+    Call before process exit or before reading a just-written checkpoint;
+    the training loop calls it at the end of the run."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     ckpt_dir: str,
     trainable: Dict[str, Any],
@@ -41,8 +53,16 @@ def save_checkpoint(
     epoch: int = 0,
     loss: float = 0.0,
     metadata: Optional[Dict[str, Any]] = None,
+    block: bool = True,
 ) -> str:
-    """Write a trainable-only checkpoint; returns the checkpoint path."""
+    """Write a trainable-only checkpoint; returns the checkpoint path.
+
+    ``block=False`` snapshots the tree to host and returns while Orbax
+    writes in the background (the device keeps training through the save —
+    epoch-boundary checkpoints stop costing a step of wall clock). The next
+    save through this module, or ``wait_for_checkpoints()``, joins the
+    in-flight write. Falls back to a blocking write without Orbax."""
+    global _ASYNC_CKPTR
     path = os.path.abspath(ckpt_dir)
     os.makedirs(path, exist_ok=True)
     state = {"trainable": _tree_to_numpy(trainable), "step": int(step)}
@@ -50,14 +70,18 @@ def save_checkpoint(
         state["opt_state"] = _tree_to_numpy(opt_state)
 
     if _HAVE_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.StandardCheckpointer()
+        ckptr = _ASYNC_CKPTR
+        ckptr.wait_until_finished()  # join any previous async write first
         target = os.path.join(path, "state")
         if os.path.exists(target):
             import shutil
 
             shutil.rmtree(target)
         ckptr.save(target, state)
-        ckptr.wait_until_finished()
+        if block:
+            ckptr.wait_until_finished()
     else:  # minimal fallback
         np.save(os.path.join(path, "state.npy"), state, allow_pickle=True)
 

@@ -23,7 +23,7 @@ from ..data.packing import PackConfig
 from ..evaluation import evaluate_predictions
 from ..registry import DatasetType
 from ..utils.perf import PerformanceTracker
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from .step import TrainState, merge_params
 
 logger = logging.getLogger(__name__)
@@ -227,9 +227,11 @@ def train(
             path = os.path.join(
                 settings.output_dir, f"epoch_{epoch}_loss_{last_loss:.4f}"
             )
+            # async: the next epoch's steps overlap the checkpoint write
             save_checkpoint(path, state.trainable, opt_state=state.opt_state,
                             step=int(state.step), epoch=epoch + 1, loss=last_loss,
-                            metadata=metadata)
+                            metadata=metadata, block=False)
+    wait_for_checkpoints()
     return state
 
 
