@@ -123,6 +123,41 @@ ref = dot_product_attention(
     make_decode_mask(lens, S2))
 d = float(np.abs(np.asarray(o, np.float32) - np.asarray(ref, np.float32)).max())
 print("DECODE_Q8", d)
+
+# --- 6) serving engine on the real chip: the prefix-cached and chunked
+# admission paths must be token-exact vs the plain engine with the Pallas
+# decode kernel LIVE in the decode path (CPU tests cover interpret/XLA) ---
+from icl_speech_text_llm_tpu.inference.serving import (
+    ContinuousBatchingEngine, ServingConfig)
+from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS, init_decoder
+
+dcfg = DECODER_CONFIGS["tiny"]
+dparams = init_decoder(jax.random.PRNGKey(0), dcfg)
+srng = np.random.RandomState(7)
+pfx = srng.randn(20, dcfg.dim).astype(np.float32) * 0.3
+sufs = [(srng.randn(int(l), dcfg.dim).astype(np.float32) * 0.3, int(l))
+        for l in srng.randint(5, 15, size=4)]
+
+def serve(scfg, reqs, pid_fn=lambda eng: None):
+    eng = ContinuousBatchingEngine(dcfg, dparams, scfg)
+    pid = pid_fn(eng)
+    rids = [eng.submit(e, l, prefix_id=pid) for e, l in reqs]
+    res = eng.run()
+    return [res[r] for r in rids]
+
+full = [(np.concatenate([pfx, s]), len(pfx) + l) for s, l in sufs]
+plain = serve(ServingConfig(num_slots=2, max_new_tokens=5,
+                            prompt_buckets=(64,), eos_token_id=2,
+                            admit_batch=2), full)
+prefixed = serve(
+    ServingConfig(num_slots=2, max_new_tokens=5, prompt_buckets=(16,),
+                  prefix_buckets=(32,), eos_token_id=2, admit_batch=2),
+    sufs, pid_fn=lambda eng: eng.register_prefix(pfx, len(pfx)))
+chunked = serve(ServingConfig(num_slots=2, max_new_tokens=5,
+                              prompt_buckets=(64,), eos_token_id=2,
+                              admit_batch=2, chunk_len=16), full)
+print("SERVING_PREFIX", int(prefixed == plain))
+print("SERVING_CHUNKED", int(chunked == plain))
 """
 
 
@@ -138,7 +173,8 @@ def device_results():
     for line in proc.stdout.splitlines():
         parts = line.split()
         if parts and parts[0] in ("GATED_BIAS", "FLASH", "INT4",
-                                  "DECODE_MHA", "DECODE_GQA7", "DECODE_Q8"):
+                                  "DECODE_MHA", "DECODE_GQA7", "DECODE_Q8",
+                                  "SERVING_PREFIX", "SERVING_CHUNKED"):
             out[parts[0]] = [float(p) for p in parts[1:]]
     return out
 
@@ -173,3 +209,15 @@ def test_flash_decode_q8_on_device_matches_dequant_oracle(device_results):
     delta is kernel arithmetic (bf16 MXU) — bound at bf16 resolution."""
     (d_q8,) = device_results["DECODE_Q8"]
     assert d_q8 < 8e-3, d_q8
+
+
+def test_serving_prefix_cache_token_exact_on_device(device_results):
+    """Prefix-cached admission vs full prefill with the REAL Mosaic decode
+    kernel live in the slot pool (CPU tests only cover the XLA stand-in)."""
+    (ok,) = device_results["SERVING_PREFIX"]
+    assert ok == 1.0
+
+
+def test_serving_chunked_prefill_token_exact_on_device(device_results):
+    (ok,) = device_results["SERVING_CHUNKED"]
+    assert ok == 1.0
