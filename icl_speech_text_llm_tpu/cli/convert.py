@@ -34,6 +34,9 @@ def build_parser():
                    help="decoder: HF LLM weights (streamed); salmonn: "
                         "salmonn_v1.pth Q-Former/LoRA adapter")
     p.add_argument("--prefix", default="model.", help="HF key prefix to strip")
+    p.add_argument("--qformer_config", default="auto",
+                   help="Q-Former config name for --component salmonn "
+                        "(models/qformer.QFORMER_CONFIGS; auto: by model_type)")
     p.add_argument("--quantize_int8", action="store_true",
                    help="store matmul weights as int8 {q,s} (serving layout)")
     p.add_argument("--quantize_int4", action="store_true",
@@ -58,7 +61,9 @@ def main(argv=None):
         from ..models.stream_convert import _DirWriter
 
         sd = load_torch_state_dict(args.src)
-        qf = QFORMER_CONFIGS["salmonn" if "13b" in args.model_type else "salmonn-7b"]
+        qf_name = (args.qformer_config if args.qformer_config != "auto"
+                   else "salmonn" if "13b" in args.model_type else "salmonn-7b")
+        qf = QFORMER_CONFIGS[qf_name]
         tree = convert_salmonn_checkpoint(sd, qf, DECODER_CONFIGS[args.model_type])
         writer = _DirWriter(args.dst)
         import jax

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trainable-only checkpoint dir to restore")
     p.add_argument("--llm_params_dir", type=str, default=None,
                    help="converted LLM weight dir (cli/convert.py output)")
+    p.add_argument("--adapter_params_dir", type=str, default=None,
+                   help="converted salmonn_v1.pth adapter dir "
+                        "(cli/convert.py --component salmonn output)")
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--run_name", type=str, default="run")
     p.add_argument("--results_dir", type=str, default="results")
@@ -113,11 +116,13 @@ def main(argv=None):
         model = get_model_from_checkpoint(
             args.peft_model_path, args.model_type, tokenizer=args.tokenizer,
             seed=args.seed, generation=gen, llm_params_dir=args.llm_params_dir,
+            adapter_params_dir=args.adapter_params_dir,
         )
     else:
         model = create_model(args.model_type, tokenizer=args.tokenizer,
                              seed=args.seed, generation=gen,
-                             llm_params_dir=args.llm_params_dir)
+                             llm_params_dir=args.llm_params_dir,
+                             adapter_params_dir=args.adapter_params_dir)
     pack_cfg = PackConfig(
         seq_len=args.seq_len, text_len=args.text_len, max_slots=n_slots,
         audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,

@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 KV cache (+per-position scales): halves the "
                         "decode-phase KV read and the pooled cache's HBM "
                         "footprint; dequant fuses into the flash-decode kernel")
+    p.add_argument("--llm_params_dir", type=str, default=None,
+                   help="converted LLM weight dir (cli/convert.py output — "
+                        "plain, int8, or int4; pre-quantized dirs skip "
+                        "runtime quantization)")
+    p.add_argument("--adapter_params_dir", type=str, default=None,
+                   help="converted salmonn_v1.pth adapter dir "
+                        "(cli/convert.py --component salmonn output)")
     p.add_argument("--lora_bank", type=str, default=None,
                    help="comma-separated trainable-checkpoint dirs: their "
                         "'lora' subtrees stack into a multi-adapter bank "
@@ -137,7 +144,9 @@ def main(argv=None):
                          "per-adapter prefixes via the engine API instead")
 
     tok = get_tokenizer(None)
-    model = create_model(args.model_type, seed=args.seed)
+    model = create_model(args.model_type, seed=args.seed,
+                         llm_params_dir=args.llm_params_dir,
+                         adapter_params_dir=args.adapter_params_dir)
     dataset_types = parse_dataset_types(args.dataset_type)
     dataset = create_dataset(
         dataset_types[0], split=DatasetSplit(args.split),
@@ -181,12 +190,16 @@ def main(argv=None):
         mesh = make_mesh(dp=dp, fsdp=fsdp, tp=tp)
         model.params = shard_params(model.params, mesh)
     llm_params = model.params["llm"]
-    if args.quantize_int8 or args.quantize_int4:
+    already_quantized = isinstance(llm_params["layers"]["attn"]["wq"], dict)
+    if (args.quantize_int8 or args.quantize_int4) and not already_quantized:
         from ..ops.quant import quantize_decoder
 
         # on a sharded tree the scales/int8 outputs inherit the sharding
         llm_params = quantize_decoder(
             llm_params, bits=4 if args.quantize_int4 else 8)
+    elif already_quantized:
+        logging.info("LLM weights arrived pre-quantized (converted dir); "
+                     "skipping runtime quantization")
     lora = model.params.get("lora")
     n_adapters = 0
     if args.lora_bank:

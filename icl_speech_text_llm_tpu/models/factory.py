@@ -218,6 +218,20 @@ class QwenAudioModel(BaseModel):
         return state.get("meta", {})
 
 
+def _check_tree_shapes(name: str, expect, got):
+    """Converted adapter leaves must match the preset's init shapes — a
+    mismatch means the wrong --model_type was used at convert or load time."""
+    flat_e = {"/".join(str(getattr(p, "key", p)) for p in kp): v.shape
+              for kp, v in jax.tree_util.tree_flatten_with_path(expect)[0]}
+    flat_g = {"/".join(str(getattr(p, "key", p)) for p in kp): v.shape
+              for kp, v in jax.tree_util.tree_flatten_with_path(got)[0]}
+    for k, shape in flat_g.items():
+        if k in flat_e and tuple(flat_e[k]) != tuple(shape):
+            raise ValueError(
+                f"adapter '{name}/{k}' shape {tuple(shape)} does not match "
+                f"the model preset's {tuple(flat_e[k])} — wrong --model_type?")
+
+
 def create_model(
     model_type: str = "salmonn-tiny",
     tokenizer: Optional[str] = None,
@@ -225,13 +239,20 @@ def create_model(
     pack_cfg: Optional[PackConfig] = None,
     generation=None,
     llm_params_dir: Optional[str] = None,
+    adapter_params_dir: Optional[str] = None,
     **_,
 ):
     """(ref: models/model_factory.py:29-97) — SALMONN and Qwen2-Audio families.
 
     ``llm_params_dir``: converted decoder weights (cli/convert.py streaming
     output — plain or int8) replace the random-init LLM; the memmapped arrays
-    stream to device on first use."""
+    stream to device on first use.
+
+    ``adapter_params_dir``: converted ``salmonn_v1.pth`` adapter weights
+    (cli/convert.py --component salmonn — Q-Former + speech projection + LoRA;
+    ref layout: models/custom_salmon.py:83, PEFT nesting :190-192). Subtrees
+    present in the dir (``qformer``/``lora``) replace their random-init
+    counterparts; shapes are validated against the preset."""
     key = model_type.lower()
     tok = get_tokenizer(tokenizer)
 
@@ -244,6 +265,18 @@ def create_model(
             # committed device arrays, not host numpy)
             params["llm"] = jax.device_put(load_params_dir(llm_params_dir))
             logger.info(f"Loaded converted LLM weights from {llm_params_dir}")
+        if adapter_params_dir:
+            from .stream_convert import load_params_dir
+
+            adapter = load_params_dir(adapter_params_dir)
+            for sub in ("qformer", "lora"):
+                if sub not in adapter:
+                    continue
+                if sub in params:
+                    _check_tree_shapes(sub, params[sub], adapter[sub])
+                params[sub] = jax.device_put(adapter[sub])
+            logger.info(f"Loaded converted adapter weights from {adapter_params_dir}"
+                        f" ({sorted(adapter)})")
         return params
     if key in QWEN_PRESETS:
         from . import qwen_audio as qa

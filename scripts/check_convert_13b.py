@@ -54,95 +54,34 @@ def _rng(i):
 
 
 def synth_decoder(root: str) -> None:
-    """HF-style sharded f16 safetensors with the exact vicuna key set."""
-    from safetensors.numpy import save_file
+    """HF-style sharded f16 safetensors with the exact vicuna key set
+    (models/synth_ckpt.write_hf_decoder_shards — shared with the tiny test)."""
+    from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS
+    from icl_speech_text_llm_tpu.models.synth_ckpt import write_hf_decoder_shards
 
     hf = os.path.join(root, "hf-vicuna-13b")
-    os.makedirs(hf, exist_ok=True)
-    weight_map = {}
-
-    def shard_name(s):
-        return f"model-{s + 1:05d}-of-{N_LAYERS // LAYERS_PER_SHARD + 1:05d}.safetensors"
-
-    for s in range(N_LAYERS // LAYERS_PER_SHARD):
-        tensors = {}
-        for li in range(s * LAYERS_PER_SHARD, (s + 1) * LAYERS_PER_SHARD):
-            r = _rng(li)
-            p = f"model.layers.{li}."
-            for name, shape in (
-                ("self_attn.q_proj.weight", (DIM, DIM)),
-                ("self_attn.k_proj.weight", (DIM, DIM)),
-                ("self_attn.v_proj.weight", (DIM, DIM)),
-                ("self_attn.o_proj.weight", (DIM, DIM)),
-                ("mlp.gate_proj.weight", (HIDDEN, DIM)),
-                ("mlp.up_proj.weight", (HIDDEN, DIM)),
-                ("mlp.down_proj.weight", (DIM, HIDDEN)),
-            ):
-                tensors[p + name] = (r.randn(*shape) * 0.02).astype(np.float16)
-            tensors[p + "input_layernorm.weight"] = np.ones(DIM, np.float16)
-            tensors[p + "post_attention_layernorm.weight"] = np.ones(DIM, np.float16)
-        fn = shard_name(s)
-        save_file(tensors, os.path.join(hf, fn))
-        weight_map.update({k: fn for k in tensors})
-        print(f"shard {fn} written ({len(tensors)} tensors)", flush=True)
-
-    r = _rng(999)
-    tail = {
-        "model.embed_tokens.weight": (r.randn(VOCAB, DIM) * 0.02).astype(np.float16),
-        "model.norm.weight": np.ones(DIM, np.float16),
-        "lm_head.weight": (r.randn(VOCAB, DIM) * 0.02).astype(np.float16),
-    }
-    fn = shard_name(N_LAYERS // LAYERS_PER_SHARD)
-    save_file(tail, os.path.join(hf, fn))
-    weight_map.update({k: fn for k in tail})
-    with open(os.path.join(hf, "model.safetensors.index.json"), "w") as f:
-        json.dump({"weight_map": weight_map}, f)
+    total = write_hf_decoder_shards(hf, DECODER_CONFIGS["vicuna-13b"],
+                                    dtype=np.float16, seed=1234,
+                                    tie_lm_head=False)
+    print(f"decoder checkpoint written: {total / 1e9:.1f} GB -> {hf}", flush=True)
 
 
 def synth_salmonn(root: str) -> None:
     """salmonn_v1.pth with EVERY key family the real checkpoint has, at real
-    shapes, inside the reference's `ckpt` wrapper (custom_salmon.py:83)."""
-    import torch
+    shapes (models/synth_ckpt.salmonn_v1_state_dict), inside the `ckpt`
+    wrapper variant (the loader also accepts the official `model` wrapper,
+    which the tiny test exercises); PEFT `.default.` infix per the trap at
+    custom_salmon.py:190-192."""
+    from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS
+    from icl_speech_text_llm_tpu.models.qformer import QFORMER_CONFIGS
+    from icl_speech_text_llm_tpu.models.synth_ckpt import write_salmonn_v1
 
-    r = _rng(7)
-    sd = {}
-    t = lambda a: torch.from_numpy(np.ascontiguousarray(a.astype(np.float32)))
-    sd["speech_query_tokens"] = t(r.randn(1, 1, QF_DIM) * 0.02)
-    sd["ln_speech.weight"] = t(np.ones(1280))
-    sd["ln_speech.bias"] = t(np.zeros(1280))
-    sd["ln_audio.weight"] = t(np.ones(768))
-    sd["ln_audio.bias"] = t(np.zeros(768))
-    for i in range(QF_LAYERS):
-        p = f"speech_Qformer.bert.encoder.layer.{i}."
-        for blk, w_in, w_out in (
-            ("attention.self.query", QF_DIM, QF_DIM),
-            ("attention.self.key", QF_WIDTH, QF_DIM),
-            ("attention.self.value", QF_WIDTH, QF_DIM),
-            ("attention.output.dense", QF_DIM, QF_DIM),
-            ("crossattention.self.query", QF_DIM, QF_DIM),
-            ("crossattention.self.key", QF_WIDTH, QF_DIM),
-            ("crossattention.self.value", QF_WIDTH, QF_DIM),
-            ("crossattention.output.dense", QF_DIM, QF_DIM),
-            ("intermediate_query.dense", QF_DIM, QF_DIM * QF_MLP),
-            ("output_query.dense", QF_DIM * QF_MLP, QF_DIM),
-        ):
-            sd[p + blk + ".weight"] = t(r.randn(w_out, w_in) * 0.02)
-            sd[p + blk + ".bias"] = t(np.zeros(w_out))
-        for ln in ("attention.output.LayerNorm", "crossattention.output.LayerNorm",
-                   "output_query.LayerNorm"):
-            sd[p + ln + ".weight"] = t(np.ones(QF_DIM))
-            sd[p + ln + ".bias"] = t(np.zeros(QF_DIM))
-    sd["speech_llama_proj.weight"] = t(r.randn(DIM, QF_DIM) * 0.02)
-    sd["speech_llama_proj.bias"] = t(np.zeros(DIM))
-    # PEFT LoRA, q/v, with the `.default.` infix trap (custom_salmon.py:190-192)
-    for i in range(N_LAYERS):
-        for proj in ("q_proj", "v_proj"):
-            base = (f"llama_model.base_model.model.model.layers.{i}."
-                    f"self_attn.{proj}")
-            sd[base + ".lora_A.default.weight"] = t(r.randn(LORA_RANK, DIM) * 0.02)
-            sd[base + ".lora_B.default.weight"] = t(np.zeros((DIM, LORA_RANK)))
-    torch.save({"ckpt": sd}, os.path.join(root, "salmonn_v1.pth"))
-    print(f"salmonn_v1.pth written ({len(sd)} tensors)", flush=True)
+    n = write_salmonn_v1(
+        os.path.join(root, "salmonn_v1.pth"),
+        QFORMER_CONFIGS["salmonn"], DECODER_CONFIGS["vicuna-13b"],
+        whisper_dim=1280, beats_dim=768, rank=LORA_RANK, seed=7,
+        peft_default=True, wrapper="ckpt")
+    print(f"salmonn_v1.pth written ({n} tensors)", flush=True)
 
 
 def _run_convert(args_list, rss_cap_gb=None):
@@ -191,39 +130,62 @@ def convert(root: str) -> dict:
     return {"decoder_maxrss_gb": rss_dec, "salmonn_maxrss_gb": rss_sal}
 
 
-def generate(root: str) -> dict:
-    """Load the int4 dir + adapter and greedy-decode from a random prompt."""
+def generate(root: str, decoder_only: bool = False) -> dict:
+    """Load the converted dirs through the USER path —
+    create_model(llm_params_dir=..., adapter_params_dir=...) — and run a
+    greedy generation (full Whisper+BEATs+Q-Former+int4-Vicuna-13B step on
+    the real chip). ``decoder_only`` keeps a CPU-tractable variant: raw
+    decode_from_sequence over the int4 dir + LoRA."""
     import jax
     import jax.numpy as jnp
 
-    from icl_speech_text_llm_tpu.inference.engine import (
-        GenerationConfig, decode_from_sequence)
-    from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS
-    from icl_speech_text_llm_tpu.models.stream_convert import load_params_dir
-
-    cfg = DECODER_CONFIGS["vicuna-13b"]
-    params = load_params_dir(os.path.join(root, "out-decoder-int4"))
-    adapter = load_params_dir(os.path.join(root, "out-salmonn"))
-    assert "lora" in adapter and "qformer" in adapter, sorted(adapter)
-    assert adapter["lora"]["wq"]["a"].shape == (N_LAYERS, DIM, LORA_RANK)
-    assert adapter["qformer"]["proj"]["w"].shape == (QF_DIM, DIM)
-
-    rng = np.random.RandomState(0)
-    seq = jnp.asarray(rng.randn(1, 32, DIM).astype(np.float32) * 0.1,
-                      jnp.bfloat16)
-    lengths = jnp.array([32], jnp.int32)
     t0 = time.time()
-    toks = decode_from_sequence(
-        cfg, params, seq, lengths, GenerationConfig(max_new_tokens=4),
-        lora=adapter["lora"], lora_scaling=32.0 / LORA_RANK, dt=jnp.bfloat16)
-    toks = np.asarray(toks)
+    if decoder_only:
+        from icl_speech_text_llm_tpu.inference.engine import (
+            GenerationConfig, decode_from_sequence)
+        from icl_speech_text_llm_tpu.models.llama import DECODER_CONFIGS
+        from icl_speech_text_llm_tpu.models.stream_convert import load_params_dir
+
+        cfg = DECODER_CONFIGS["vicuna-13b"]
+        params = load_params_dir(os.path.join(root, "out-decoder-int4"))
+        adapter = load_params_dir(os.path.join(root, "out-salmonn"))
+        assert adapter["lora"]["wq"]["a"].shape == (N_LAYERS, DIM, LORA_RANK)
+        rng = np.random.RandomState(0)
+        seq = jnp.asarray(rng.randn(1, 32, DIM).astype(np.float32) * 0.1,
+                          jnp.bfloat16)
+        toks = np.asarray(decode_from_sequence(
+            cfg, params, seq, jnp.array([32], jnp.int32),
+            GenerationConfig(max_new_tokens=4),
+            lora=adapter["lora"], lora_scaling=32.0 / LORA_RANK,
+            dt=jnp.bfloat16))
+        texts = None
+    else:
+        from icl_speech_text_llm_tpu.data.collate import ICLSample
+        from icl_speech_text_llm_tpu.data.prompts import build_default_prompt
+        from icl_speech_text_llm_tpu.models.factory import create_model
+
+        model = create_model(
+            "salmonn-13b",
+            llm_params_dir=os.path.join(root, "out-decoder-int4"),
+            adapter_params_dir=os.path.join(root, "out-salmonn"))
+        assert model.params["lora"]["wq"]["a"].shape == (N_LAYERS, DIM, LORA_RANK)
+        assert model.params["qformer"]["proj"]["w"].shape == (QF_DIM, DIM)
+        rng = np.random.RandomState(0)
+        plan = build_default_prompt("Describe the speaker sentiment.", "utt", [],
+                                    input_mode="speech_only", fewshot_mode="text")
+        sample = ICLSample(
+            plan=plan, completion="positive",
+            slot_audio={("main", 0): rng.randn(16000).astype(np.float32) * 0.05})
+        texts = model.generate_output([sample])
+        assert isinstance(texts, list) and len(texts) == 1
+        toks = None
     dt = time.time() - t0
-    assert toks.shape == (1, 4) and (toks >= 0).all() and (toks < VOCAB).all()
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    print(f"generation ok on {jax.devices()[0].platform}: tokens {toks.tolist()} "
-          f"in {dt:.0f}s, host maxrss {rss:.2f} GB", flush=True)
-    return {"tokens": toks.tolist(), "gen_platform": jax.devices()[0].platform,
-            "gen_host_maxrss_gb": rss}
+    print(f"generation ok on {jax.devices()[0].platform}: "
+          f"{texts if toks is None else toks.tolist()} in {dt:.0f}s, "
+          f"host maxrss {rss:.2f} GB", flush=True)
+    return {"gen_platform": jax.devices()[0].platform, "gen_seconds": round(dt, 1),
+            "gen_host_maxrss_gb": round(rss, 2), "full_model_path": not decoder_only}
 
 
 def main():
@@ -231,6 +193,8 @@ def main():
     ap.add_argument("--phase", default="all",
                     choices=["synth", "convert", "generate", "all"])
     ap.add_argument("--root", default="/tmp/ckpt13b")
+    ap.add_argument("--decoder_only", action="store_true",
+                    help="CPU-tractable generate phase (no encoders)")
     a = ap.parse_args()
     os.makedirs(a.root, exist_ok=True)
     out = {}
@@ -240,7 +204,7 @@ def main():
     if a.phase in ("convert", "all"):
         out.update(convert(a.root))
     if a.phase in ("generate", "all"):
-        out.update(generate(a.root))
+        out.update(generate(a.root, decoder_only=a.decoder_only))
     print("CONVERT13B " + json.dumps(out))
 
 
