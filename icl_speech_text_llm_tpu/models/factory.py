@@ -256,7 +256,7 @@ def create_model(
     key = model_type.lower()
     tok = get_tokenizer(tokenizer)
 
-    def _maybe_real_llm(params):
+    def _maybe_real_llm(params, compute_dtype=None):
         if llm_params_dir:
             from .stream_convert import load_params_dir
 
@@ -265,6 +265,16 @@ def create_model(
             # committed device arrays, not host numpy)
             params["llm"] = jax.device_put(load_params_dir(llm_params_dir))
             logger.info(f"Loaded converted LLM weights from {llm_params_dir}")
+            # Frozen encoders run in compute_dtype anyway (they are cast at
+            # use); storing them f32 next to a real-scale quantized decoder
+            # wastes HBM (~1.5 GB at whisper-large) — keep only the trainable
+            # subtrees (qformer/lora/projector) at full precision.
+            if compute_dtype == jnp.bfloat16:
+                for sub in ("whisper", "beats", "encoder"):
+                    if sub in params:
+                        params[sub] = jax.tree_util.tree_map(
+                            lambda x: x.astype(jnp.bfloat16)
+                            if x.dtype == jnp.float32 else x, params[sub])
         if adapter_params_dir:
             from .stream_convert import load_params_dir
 
@@ -283,7 +293,10 @@ def create_model(
         from .qwen_audio import init_qwen_audio
 
         cfg = getattr(qa, QWEN_PRESETS[key])()
-        params = _maybe_real_llm(init_qwen_audio(jax.random.PRNGKey(seed), cfg))
+        params = _maybe_real_llm(
+            init_qwen_audio(jax.random.PRNGKey(seed), cfg,
+                            skip_llm=bool(llm_params_dir)),
+            compute_dtype=cfg.compute_dtype)
         logger.info(f"Created {key} (random init; convert weights via models/convert.py)")
         return QwenAudioModel(cfg, params, tok, pack_cfg, generation)
     if key not in SALMONN_PRESETS:
@@ -297,7 +310,9 @@ def create_model(
         cfg = salmonn_bench()
     else:
         cfg = SALMONN_PRESETS[key]()
-    params = _maybe_real_llm(init_salmonn(jax.random.PRNGKey(seed), cfg))
+    params = _maybe_real_llm(init_salmonn(jax.random.PRNGKey(seed), cfg,
+                                          skip_llm=bool(llm_params_dir)),
+                             compute_dtype=cfg.compute_dtype)
     logger.info(f"Created {key} (random init; convert weights via models/convert.py)")
     return SalmonnModel(cfg, params, tok, pack_cfg, generation)
 

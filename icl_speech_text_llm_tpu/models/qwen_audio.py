@@ -99,7 +99,10 @@ def qwen2_audio_smoke() -> QwenAudioConfig:
     )
 
 
-def init_qwen_audio(key, cfg: QwenAudioConfig) -> Dict[str, Any]:
+def init_qwen_audio(key, cfg: QwenAudioConfig, skip_llm: bool = False) -> Dict[str, Any]:
+    """``skip_llm`` leaves the decoder subtree out so callers loading
+    converted (quantized) weights never materialize a throwaway random-init
+    7B decoder on device (~28 GB f32)."""
     ke, kp, kl, klo = jax.random.split(key, 4)
     params = {
         "encoder": init_whisper_encoder(ke, cfg.encoder),
@@ -107,8 +110,9 @@ def init_qwen_audio(key, cfg: QwenAudioConfig) -> Dict[str, Any]:
             "w": dense_init(kp, cfg.encoder.dim, cfg.llm.dim),
             "b": jnp.zeros((cfg.llm.dim,)),
         },
-        "llm": init_decoder(kl, cfg.llm),
     }
+    if not skip_llm:
+        params["llm"] = init_decoder(kl, cfg.llm)
     if cfg.lora is not None:
         params["lora"] = init_lora(klo, cfg.llm, cfg.lora)
     return params

@@ -114,13 +114,17 @@ def salmonn_tiny() -> SalmonnConfig:
     )
 
 
-def init_salmonn(key, cfg: SalmonnConfig) -> Dict[str, Any]:
+def init_salmonn(key, cfg: SalmonnConfig, skip_llm: bool = False) -> Dict[str, Any]:
+    """``skip_llm`` leaves the decoder subtree out: at 13B a throwaway f32
+    random init is ~52 GB of device memory, so callers that immediately
+    replace it with converted (int8/int4) weights must never materialize it."""
     kw, kb, kq, kl, klo = jax.random.split(key, 5)
     params = {
         "whisper": init_whisper_encoder(kw, cfg.whisper),
         "qformer": init_qformer(kq, cfg.qformer),
-        "llm": init_decoder(kl, cfg.llm),
     }
+    if not skip_llm:
+        params["llm"] = init_decoder(kl, cfg.llm)
     if cfg.beats is not None:
         params["beats"] = init_beats(kb, cfg.beats)
     if cfg.lora is not None:
