@@ -641,15 +641,16 @@ def flash_attention_gated_bias(
 
 def _decode_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32 attendable positions per sample
-    q_ref,  # (1, 1, 8, D) — the r grouped query heads in sublanes, padded to 8
-    k_ref,  # (1, 1, block_k, D) compute dtype, or int8 when quant
-    v_ref,  # (1, 1, block_k, D) compute dtype, or int8 when quant
-    *rest,  # [ks_ref (1,1,block_k) f32, vs_ref (1,1,block_k) f32,] o_ref,
-    #         m_scratch (8, MIN_LANES) f32, l_scratch (8, MIN_LANES) f32,
-    #         acc_scratch (8, D) f32
+    q_ref,  # (1, hb, 8, D) — per KV head, its r grouped query heads in sublanes
+    k_ref,  # (1, hb, block_k, D) compute dtype, or int8 when quant
+    v_ref,  # (1, hb, block_k, D) compute dtype, or int8 when quant
+    *rest,  # [ks_ref (1,hb,block_k) f32, vs_ref (1,hb,block_k) f32,] o_ref,
+    #         m_scratch (hb*8, MIN_LANES) f32, l_scratch (hb*8, MIN_LANES) f32,
+    #         acc_scratch (hb*8, D) f32
     sm_scale: float,
     block_k: int,
     quant: bool,
+    head_block: int,
 ):
     if quant:
         ks_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
@@ -670,39 +671,47 @@ def _decode_kernel(
 
     @pl.when(kv_start < length)
     def _run():
-        q = q_ref[0, 0]  # (8, D): rows 0..r-1 are real query heads, rest pad
-        k = k_ref[0, 0].astype(q.dtype)  # int8 → compute dtype when quant
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # (8, block_k)
-        if quant:
-            # dequant linearity: scaling k rows == scaling score columns
-            s = s * ks_ref[0]  # (1, block_k) broadcast
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-        s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
-        # v's scales fold into p (NOT into l — the normalizer must sum
-        # unscaled probabilities), so _online_softmax_update can't be reused
-        # verbatim for the quant case; keep ONE inlined copy for both.
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        m_scratch[...] = m_next
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        if quant:
-            p = p * vs_ref[0]
-        pv = jax.lax.dot(p.astype(q.dtype), v_ref[0, 0].astype(q.dtype),
-                         preferred_element_type=jnp.float32)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+        # head_block KV heads share this grid step: per-grid-step cost
+        # (DMA issue, pipeline bubble) amortizes over a fat
+        # (hb·block_k, D) tile — measured 66 GB/s at hb=1 vs ~600 at the
+        # ~2-3 MB tile geometry (scripts/probe_kernel_variants.py, and the
+        # same lesson as ops/int4_matmul.py's tile-budget policy)
+        for j in range(head_block):  # static unroll
+            rows = slice(8 * j, 8 * (j + 1))
+            q = q_ref[0, j]  # (8, D): rows 0..r-1 real query heads, rest pad
+            k = k_ref[0, j].astype(q.dtype)  # int8 → compute dtype when quant
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # (8, block_k)
+            if quant:
+                # dequant linearity: scaling k rows == scaling score columns
+                s = s * ks_ref[0, j:j + 1]  # (1, block_k) broadcast
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+            s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
+            # v's scales fold into p (NOT into l — the normalizer must sum
+            # unscaled probabilities), so _online_softmax_update can't be
+            # reused verbatim for the quant case; keep ONE inlined copy.
+            m_prev = m_scratch[rows]
+            l_prev = l_scratch[rows]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            m_scratch[rows] = m_next
+            l_scratch[rows] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            if quant:
+                p = p * vs_ref[0, j:j + 1]
+            pv = jax.lax.dot(p.astype(q.dtype), v_ref[0, j].astype(q.dtype),
+                             preferred_element_type=jnp.float32)
+            acc_scratch[rows] = acc_scratch[rows] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o = acc_scratch[...] * l_inv
+        o_ref[0] = o.reshape(head_block, 8, o.shape[-1]).astype(o_ref.dtype)
 
 
 def flash_decode_attention(
@@ -739,6 +748,15 @@ def flash_decode_attention(
     return _flash_decode(q, k, v, None, lengths, sm_scale, block_k)
 
 
+# Combined k+v tile byte budget per grid step. Per-grid-step overhead is the
+# throughput killer on the v5e (measured: (1-head, 384-row) 196 KB tiles
+# stream at 66 GB/s; ~2 MB tiles at ~600 — scripts/probe_kernel_variants.py,
+# matching ops/int4_matmul.py's tile-geometry finding), so the launcher packs
+# as many KV heads per step as fit the budget. Kept well under VMEM/2 ≈ 8 MB
+# (Mosaic double-buffers the pipeline).
+_DECODE_TILE_BUDGET = 3_000_000
+
+
 def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k):
     """Shared launcher for the bf16 and int8-KV decode kernels; ``scales`` is
     None or a ((B, Hkv, S) k-scale, same v-scale) pair."""
@@ -754,21 +772,27 @@ def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k):
         sm_scale = D**-0.5
     quant = scales is not None
     bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
+    # head-block: largest divisor of Hkv whose combined k+v tile fits the
+    # per-step byte budget (≥1 always)
+    kv_itemsize = 1 if quant else k.dtype.itemsize
+    per_head = 2 * bk * D * kv_itemsize
+    hb = next(h for h in range(Hkv, 0, -1)
+              if Hkv % h == 0 and (h == 1 or h * per_head <= _DECODE_TILE_BUDGET))
     # (B, H, 1, D) → (B, Hkv, r, D): row j of group kvh is query head kvh·r+j
     qg = q.reshape(B, Hkv, n_rep, D)
     q8 = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - n_rep), (0, 0)))
-    grid = (B, Hkv, S // bk)
+    grid = (B, Hkv // hb, S // bk)
     kernel = functools.partial(_decode_kernel, sm_scale=sm_scale, block_k=bk,
-                               quant=quant)
-    kv_spec = pl.BlockSpec((1, 1, bk, D), lambda b, h, ki, *_: (b, h, ki, 0))
+                               quant=quant, head_block=hb)
+    kv_spec = pl.BlockSpec((1, hb, bk, D), lambda b, h, ki, *_: (b, h, ki, 0))
     in_specs = [
-        pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, hb, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
         kv_spec,
         kv_spec,
     ]
     operands = [lengths.astype(jnp.int32), q8, k, v]
     if quant:
-        s_spec = pl.BlockSpec((1, 1, bk), lambda b, h, ki, *_: (b, h, ki))
+        s_spec = pl.BlockSpec((1, hb, bk), lambda b, h, ki, *_: (b, h, ki))
         in_specs += [s_spec, s_spec]
         operands += [scales[0].astype(jnp.float32), scales[1].astype(jnp.float32)]
     out = pl.pallas_call(
@@ -777,11 +801,11 @@ def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, hb, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((8, MIN_LANES), jnp.float32),
-                pltpu.VMEM((8, MIN_LANES), jnp.float32),
-                pltpu.VMEM((8, D), jnp.float32),
+                pltpu.VMEM((hb * 8, MIN_LANES), jnp.float32),
+                pltpu.VMEM((hb * 8, MIN_LANES), jnp.float32),
+                pltpu.VMEM((hb * 8, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, 8, D), q.dtype),
