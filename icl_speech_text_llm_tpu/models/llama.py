@@ -310,20 +310,9 @@ def _layer_forward(
 ):
     B, T, _ = x.shape
     hd = cfg.hd
-    attn, mlp = layer["attn"], layer["mlp"]
-    pj = partial(_proj, lora_ids=lora_ids)
 
-    h = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
-    q = pj(h, attn["wq"], lora_layer, "wq", lora_scaling, attn.get("bq"))
-    k = pj(h, attn["wk"], lora_layer, "wk", lora_scaling, attn.get("bk"))
-    v = pj(h, attn["wv"], lora_layer, "wv", lora_scaling, attn.get("bv"))
-
-    q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
-
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    q, k, v = _qkv_heads(cfg, layer, lora_layer, lora_scaling, x, positions,
+                         inv_freq, lora_ids)
 
     new_cache_kv = None
     kv_scales = None  # (k_s, v_s) when the cache is int8-quantized
@@ -466,13 +455,40 @@ def _layer_forward(
             v_att = repeat_kv(v_att.astype(q.dtype), cfg.n_heads // cfg.n_kv_heads)
             out = dot_product_attention(q, k_att, v_att, mask)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, cfg.n_heads * hd)
-    x = x + pj(out, attn["wo"], lora_layer, "wo", lora_scaling)
+    x = _attn_out_mlp(cfg, layer, lora_layer, lora_scaling, x, out, lora_ids)
+    return x, new_cache_kv
 
+
+def _qkv_heads(cfg, layer, lora_layer, lora_scaling, x, positions, inv_freq,
+               lora_ids=None):
+    """Pre-norm + q/k/v projections + head split + RoPE (shared by the
+    scanned layer forward and the zero-copy decode step)."""
+    B, T, _ = x.shape
+    hd = cfg.hd
+    attn = layer["attn"]
+    pj = partial(_proj, lora_ids=lora_ids)
+    h = rms_norm(x, layer["ln_attn"], cfg.rms_eps)
+    q = pj(h, attn["wq"], lora_layer, "wq", lora_scaling, attn.get("bq"))
+    k = pj(h, attn["wk"], lora_layer, "wk", lora_scaling, attn.get("bk"))
+    v = pj(h, attn["wv"], lora_layer, "wv", lora_scaling, attn.get("bv"))
+    q = q.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+    return q, k, v
+
+
+def _attn_out_mlp(cfg, layer, lora_layer, lora_scaling, x, out, lora_ids=None):
+    """Attention output projection + residual + MLP block (shared)."""
+    attn, mlp = layer["attn"], layer["mlp"]
+    pj = partial(_proj, lora_ids=lora_ids)
+    x = x + pj(out, attn["wo"], lora_layer, "wo", lora_scaling)
     h = rms_norm(x, layer["ln_mlp"], cfg.rms_eps)
     gate = pj(h, mlp["w_gate"], lora_layer, "w_gate", lora_scaling)
     up = pj(h, mlp["w_up"], lora_layer, "w_up", lora_scaling)
-    x = x + pj(jax.nn.silu(gate) * up, mlp["w_down"], lora_layer, "w_down", lora_scaling)
-    return x, new_cache_kv
+    return x + pj(jax.nn.silu(gate) * up, mlp["w_down"], lora_layer,
+                  "w_down", lora_scaling)
 
 
 def init_kv_cache(
@@ -571,6 +587,16 @@ def decoder_forward(
     x = inputs_embeds
     use_lora = lora is not None
     use_cache = cache is not None
+    if (use_cache and cache_positions is not None
+            and inputs_embeds.shape[1] == 1 and use_flash_decode is True):
+        from ..ops.flash_attention import flash_decode_usable
+
+        B = inputs_embeds.shape[0]
+        if flash_decode_usable((B, cfg.n_heads, 1, cfg.hd),
+                               (B, cfg.n_kv_heads) + cache["k"].shape[-2:]):
+            return _decode_step_zero_copy(
+                cfg, params, inputs_embeds, positions, cache, cache_positions,
+                inv_freq, lora, lora_scaling, lora_ids)
     # Every scanned input needs a leading n_layers axis; absent subtrees get a
     # dummy so the scan signature stays uniform.
     dummy = jnp.zeros((cfg.n_layers, 1))
@@ -618,6 +644,88 @@ def decoder_forward(
         new_cache = {"k": new_kvs[0], "v": new_kvs[1]}
         if kv_quant:
             new_cache["k_s"], new_cache["v_s"] = new_kvs[2], new_kvs[3]
+    return x, new_cache
+
+
+def _decode_step_zero_copy(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    x: jnp.ndarray,  # (B, 1, dim)
+    positions: jnp.ndarray,  # (B, 1)
+    cache: Dict[str, jnp.ndarray],
+    cache_positions: jnp.ndarray,  # (B,)
+    inv_freq: jnp.ndarray,
+    lora,
+    lora_scaling: float,
+    lora_ids,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Single-token cached decode with ZERO cache copies.
+
+    The scanned xs/ys cache of the general path moves the whole cache ~2×
+    per decode step (scan slices in, stacked ys out) on top of the attention
+    kernel's read — measured ~12 ms/step at 7B shapes, rivaling the weight
+    stream itself (scripts/probe_decode_structures.py). Here the cache never
+    enters the layer scan: the flash-decode kernel streams layer ``l``
+    straight from the stacked HBM buffer (scalar-prefetched block index) and
+    folds the CURRENT token's kv in as one extra online-softmax column; the
+    scan emits each layer's new kv as tiny ys (L·B·Hkv·D elements), and ONE
+    aliased Pallas append (ops/flash_attention.append_kv) writes all layers
+    in place after the scan. Numerics: identical to the general path — the
+    appended values equal what it would have written pre-attention, and the
+    self column equals what it would have read back (for int8-KV caches the
+    self column is attended UNQUANTIZED, one step earlier than the general
+    path quantizes it — strictly less quantization error).
+    """
+    from ..ops.flash_attention import (
+        append_kv,
+        flash_decode_attention,
+        flash_decode_attention_q8,
+    )
+
+    B = x.shape[0]
+    quant = "k_s" in cache
+    use_lora = lora is not None
+    dummy = jnp.zeros((cfg.n_layers, 1))
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)[:, None]  # (L, 1)
+    lengths = cache_positions  # PREVIOUS tokens; the self column is separate
+
+    def scan_body(x, sc):
+        layer, lo, li = sc
+        lo = lo if use_lora else None
+        q, k, v = _qkv_heads(cfg, layer, lo, lora_scaling, x, positions,
+                             inv_freq, lora_ids)
+        if quant:
+            from ..ops.quant import quantize_kv
+
+            k_st, k_sc = quantize_kv(k)
+            v_st, v_sc = quantize_kv(v)
+            out = flash_decode_attention_q8(
+                q, cache["k"], cache["v"], cache["k_s"], cache["v_s"],
+                lengths, self_kv=(k, v), layer=li)
+            new = (k_st, v_st, k_sc, v_sc)
+        else:
+            out = flash_decode_attention(q, cache["k"], cache["v"], lengths,
+                                         self_kv=(k, v), layer=li)
+            new = (k.astype(cache["k"].dtype), v.astype(cache["v"].dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, cfg.n_heads * cfg.hd)
+        x = _attn_out_mlp(cfg, layer, lo, lora_scaling, x, out, lora_ids)
+        return x, new
+
+    xs = (params["layers"], lora if use_lora else dummy, layer_ids)
+    x, new_kv = jax.lax.scan(scan_body, x, xs)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    ck, cv = append_kv(cache["k"], cache["v"], new_kv[0], new_kv[1],
+                       cache_positions)
+    new_cache = {"k": ck, "v": cv}
+    if quant:
+        # scale planes are cache_bytes/256 — a plain per-sample DUS copy is
+        # ~0.1 ms at 7B; not worth an aliased kernel (lane-dim-1 blocks)
+        def wr_s(c, s, p):  # c (L, Hkv, S); s (L, Hkv, 1)
+            return jax.lax.dynamic_update_slice(c, s, (0, 0, p))
+
+        vw = jax.vmap(wr_s, in_axes=(1, 1, 0), out_axes=1)
+        new_cache["k_s"] = vw(cache["k_s"], new_kv[2], cache_positions)
+        new_cache["v_s"] = vw(cache["v_s"], new_kv[3], cache_positions)
     return x, new_cache
 
 

@@ -641,21 +641,35 @@ def flash_attention_gated_bias(
 
 def _decode_kernel(
     lengths_ref,  # scalar prefetch: (B,) int32 attendable positions per sample
-    q_ref,  # (1, hb, 8, D) — per KV head, its r grouped query heads in sublanes
-    k_ref,  # (1, hb, block_k, D) compute dtype, or int8 when quant
-    v_ref,  # (1, hb, block_k, D) compute dtype, or int8 when quant
-    *rest,  # [ks_ref (1,hb,block_k) f32, vs_ref (1,hb,block_k) f32,] o_ref,
-    #         m_scratch (hb*8, MIN_LANES) f32, l_scratch (hb*8, MIN_LANES) f32,
+    *refs,  # [layer_ref (1,) i32 when stacked,] q_ref (1, hb, 8, D),
+    #         k_ref, v_ref ((1,)[stacked] 1, hb, block_k, D), compute dtype or
+    #         int8 when quant, [ks_ref, vs_ref ((1,) 1, hb, block_k) f32,]
+    #         [kn_ref, vn_ref (1, hb, 1, D) — current-token self column,]
+    #         o_ref, m_scratch (hb*8, MIN_LANES) f32, l_scratch same,
     #         acc_scratch (hb*8, D) f32
     sm_scale: float,
     block_k: int,
     quant: bool,
     head_block: int,
+    stacked: bool,
+    self_kv: bool,
 ):
+    rest = list(refs)
+    if stacked:
+        rest.pop(0)  # layer index is consumed by the BlockSpec index maps
+    q_ref, k_ref, v_ref = rest[:3]
+    rest = rest[3:]
+    ks_ref = vs_ref = kn_ref = vn_ref = None
     if quant:
-        ks_ref, vs_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
-    else:
-        o_ref, m_scratch, l_scratch, acc_scratch = rest
+        ks_ref, vs_ref = rest[:2]
+        rest = rest[2:]
+    if self_kv:
+        kn_ref, vn_ref = rest[:2]
+        rest = rest[2:]
+    o_ref, m_scratch, l_scratch, acc_scratch = rest
+    # stacked operands carry a leading (1,) layer block dim
+    kv = (lambda r, j: r[0, 0, j]) if stacked else (lambda r, j: r[0, j])
+    sc = (lambda r, j: r[0, 0, j:j + 1]) if stacked else (lambda r, j: r[0, j:j + 1])
     b = pl.program_id(0)
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -679,14 +693,14 @@ def _decode_kernel(
         for j in range(head_block):  # static unroll
             rows = slice(8 * j, 8 * (j + 1))
             q = q_ref[0, j]  # (8, D): rows 0..r-1 real query heads, rest pad
-            k = k_ref[0, j].astype(q.dtype)  # int8 → compute dtype when quant
+            k = kv(k_ref, j).astype(q.dtype)  # int8 → compute dtype when quant
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * sm_scale  # (8, block_k)
             if quant:
                 # dequant linearity: scaling k rows == scaling score columns
-                s = s * ks_ref[0, j:j + 1]  # (1, block_k) broadcast
+                s = s * sc(ks_ref, j)  # (1, block_k) broadcast
             col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
             s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
             # v's scales fold into p (NOT into l — the normalizer must sum
@@ -701,13 +715,32 @@ def _decode_kernel(
             m_scratch[rows] = m_next
             l_scratch[rows] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
             if quant:
-                p = p * vs_ref[0, j:j + 1]
-            pv = jax.lax.dot(p.astype(q.dtype), v_ref[0, j].astype(q.dtype),
+                p = p * sc(vs_ref, j)
+            pv = jax.lax.dot(p.astype(q.dtype), kv(v_ref, j).astype(q.dtype),
                              preferred_element_type=jnp.float32)
             acc_scratch[rows] = acc_scratch[rows] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
+        if self_kv:
+            # the CURRENT token's kv never touched the cache (it is appended
+            # once per decode step, outside the layer loop): fold it in as
+            # one extra always-valid online-softmax column per head
+            for j in range(head_block):
+                rows = slice(8 * j, 8 * (j + 1))
+                q = q_ref[0, j]
+                kn = kn_ref[0, j].astype(q.dtype)  # (1, D)
+                s_self = jnp.sum(
+                    q.astype(jnp.float32) * kn.astype(jnp.float32),
+                    axis=1, keepdims=True) * sm_scale  # (8, 1)
+                m_prev = m_scratch[rows]
+                l_prev = l_scratch[rows]
+                m_next = jnp.maximum(m_prev, s_self)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s_self - m_next[:, :1])  # (8, 1)
+                l_scratch[rows] = alpha * l_prev + p
+                vn = vn_ref[0, j].astype(jnp.float32)  # (1, D)
+                acc_scratch[rows] = acc_scratch[rows] * alpha[:, :1] + p[:, :1] * vn
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o = acc_scratch[...] * l_inv
@@ -721,6 +754,8 @@ def flash_decode_attention(
     lengths: jnp.ndarray,  # (B,) attendable positions (cur_len + 1)
     sm_scale: Optional[float] = None,
     block_k: int = 512,
+    self_kv=None,  # ((B,Hkv,1,D), (B,Hkv,1,D)) current-token kv column
+    layer: Optional[jnp.ndarray] = None,  # (1,) i32 → k/v are stacked (L,...)
 ) -> jnp.ndarray:
     """KV-cached decode attention that streams the cache at HBM rate.
 
@@ -744,8 +779,11 @@ def flash_decode_attention(
 
     Reference cost center: the token-by-token HF generate loop,
     ref models/custom_salmon.py:704-720.
+
+    ``layer``/``self_kv``: zero-copy cached-decode mode — see _flash_decode.
     """
-    return _flash_decode(q, k, v, None, lengths, sm_scale, block_k)
+    return _flash_decode(q, k, v, None, lengths, sm_scale, block_k,
+                         self_kv=self_kv, layer=layer)
 
 
 # Combined k+v tile byte budget per grid step. Per-grid-step overhead is the
@@ -757,11 +795,27 @@ def flash_decode_attention(
 _DECODE_TILE_BUDGET = 3_000_000
 
 
-def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k):
+def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k,
+                  self_kv=None, layer=None):
     """Shared launcher for the bf16 and int8-KV decode kernels; ``scales`` is
-    None or a ((B, Hkv, S) k-scale, same v-scale) pair."""
+    None or a ((B, Hkv, S) k-scale, same v-scale) pair.
+
+    ``layer``: (1,) int32 — k/v (and scales) are then the FULL STACKED cache
+    with a leading n_layers axis; the kernel streams layer ``layer[0]``
+    directly from HBM via the scalar-prefetched block index, so the caller
+    never slices the cache (an XLA slice materializes a per-layer copy and,
+    inside the decode scan, re-copies the whole cache every step — the
+    measured xs/ys eater, scripts/probe_decode_structures.py).
+
+    ``self_kv``: (k_new, v_new) each (B, Hkv, 1, D), the CURRENT token's kv
+    (always compute dtype, even over a quantized cache). The kernel folds it
+    in as one extra online-softmax column, so the cache append can happen
+    once per decode step outside the layer loop; ``lengths`` then counts
+    PREVIOUS tokens only (cur_len, not cur_len + 1).
+    """
     B, H, Tq, D = q.shape
-    _, Hkv, S, _ = k.shape
+    stacked = layer is not None
+    _, Hkv, S, _ = k.shape[1:] if stacked else k.shape
     if Tq != 1:
         raise ValueError(f"flash decode attention is single-position; Tq={Tq}")
     n_rep = H // Hkv
@@ -783,22 +837,39 @@ def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k):
     q8 = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - n_rep), (0, 0)))
     grid = (B, Hkv // hb, S // bk)
     kernel = functools.partial(_decode_kernel, sm_scale=sm_scale, block_k=bk,
-                               quant=quant, head_block=hb)
-    kv_spec = pl.BlockSpec((1, hb, bk, D), lambda b, h, ki, *_: (b, h, ki, 0))
+                               quant=quant, head_block=hb, stacked=stacked,
+                               self_kv=self_kv is not None)
+    if stacked:
+        # index maps see the prefetched scalars: (..., lengths_ref, layer_ref)
+        kv_spec = pl.BlockSpec((1, 1, hb, bk, D),
+                               lambda b, h, ki, lens, lyr: (lyr[0], b, h, ki, 0))
+        s_spec = pl.BlockSpec((1, 1, hb, bk),
+                              lambda b, h, ki, lens, lyr: (lyr[0], b, h, ki))
+        n_prefetch = 2
+        prefetch = [lengths.astype(jnp.int32), layer.astype(jnp.int32)]
+    else:
+        kv_spec = pl.BlockSpec((1, hb, bk, D), lambda b, h, ki, *_: (b, h, ki, 0))
+        s_spec = pl.BlockSpec((1, hb, bk), lambda b, h, ki, *_: (b, h, ki))
+        n_prefetch = 1
+        prefetch = [lengths.astype(jnp.int32)]
     in_specs = [
         pl.BlockSpec((1, hb, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
         kv_spec,
         kv_spec,
     ]
-    operands = [lengths.astype(jnp.int32), q8, k, v]
+    operands = prefetch + [q8, k, v]
     if quant:
-        s_spec = pl.BlockSpec((1, hb, bk), lambda b, h, ki, *_: (b, h, ki))
         in_specs += [s_spec, s_spec]
         operands += [scales[0].astype(jnp.float32), scales[1].astype(jnp.float32)]
+    if self_kv is not None:
+        kn, vn = self_kv
+        n_spec = pl.BlockSpec((1, hb, 1, D), lambda b, h, ki, *_: (b, h, 0, 0))
+        in_specs += [n_spec, n_spec]
+        operands += [kn.astype(q.dtype), vn.astype(q.dtype)]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=n_prefetch,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, hb, 8, D), lambda b, h, ki, *_: (b, h, 0, 0)),
@@ -825,6 +896,8 @@ def flash_decode_attention_q8(
     lengths: jnp.ndarray,  # (B,) attendable positions (cur_len + 1)
     sm_scale: Optional[float] = None,
     block_k: int = 512,
+    self_kv=None,  # ((B,Hkv,1,D), (B,Hkv,1,D)) compute-dtype current-token kv
+    layer: Optional[jnp.ndarray] = None,  # (1,) i32 → stacked (L,...) cache
 ) -> jnp.ndarray:
     """``flash_decode_attention`` over an int8-quantized KV cache.
 
@@ -836,7 +909,57 @@ def flash_decode_attention_q8(
     kernel (shared launcher). Beyond-reference: halves decode KV traffic and
     doubles the serving engine's slot capacity at a fixed HBM budget.
     """
-    return _flash_decode(q, k8, v8, (k_s, v_s), lengths, sm_scale, block_k)
+    return _flash_decode(q, k8, v8, (k_s, v_s), lengths, sm_scale, block_k,
+                         self_kv=self_kv, layer=layer)
+
+
+def _append_kernel(positions_ref, nk_ref, nv_ref, ck_ref, cv_ref,
+                   ok_ref, ov_ref):
+    # ck/cv blocks are the (aliased) target rows — inputs only because
+    # input_output_aliases requires the aliased buffers as operands
+    ok_ref[0, 0, :, 0, :] = nk_ref[0, 0, :, 0, :]
+    ov_ref[0, 0, :, 0, :] = nv_ref[0, 0, :, 0, :]
+
+
+def append_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+              new_k: jnp.ndarray, new_v: jnp.ndarray,
+              positions: jnp.ndarray):
+    """In-place per-sample append into the stacked KV cache.
+
+    cache_k/v: (L, B, Hkv, S, D); new_k/v: (L, B, Hkv, 1, D) — ONE decode
+    step's kv for every layer at once (collected as tiny scan ys);
+    positions: (B,) write index per sample. Returns the SAME buffers
+    (``input_output_aliases``), updated in place: Mosaic writes only the
+    (Hkv, 1, D) target blocks, so the cache never moves. An XLA
+    dynamic_update_slice here copies the full cache every decode step —
+    XLA does not alias DUS through scan-carried buffers (measured +5 ms/step
+    at 7B shapes, scripts/probe_decode_structures.py); a scan xs/ys cache
+    costs ~12 ms/step. Works for bf16 and int8 caches alike (pure copy —
+    the caller pre-quantizes new kv for int8 caches; per-position scale
+    planes are cache_bytes/256 and go through plain XLA DUS).
+    """
+    L, B, Hkv, S, D = cache_k.shape
+    n_spec = pl.BlockSpec((1, 1, Hkv, 1, D), lambda l, b, pos: (l, b, 0, 0, 0))
+    o_spec = pl.BlockSpec((1, 1, Hkv, 1, D),
+                          lambda l, b, pos: (l, b, 0, pos[b], 0))
+    return pl.pallas_call(
+        _append_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B),
+            in_specs=[n_spec, n_spec, o_spec, o_spec],
+            out_specs=[o_spec, o_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                   jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
+        # operand numbering includes the scalar-prefetch arg: 0=positions,
+        # 1=new_k, 2=new_v, 3=cache_k, 4=cache_v → outputs (0=k, 1=v)
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(positions.astype(jnp.int32), new_k.astype(cache_k.dtype),
+      new_v.astype(cache_v.dtype), cache_k, cache_v)
 
 
 def flash_decode_usable(q_shape, kv_shape) -> bool:

@@ -382,3 +382,107 @@ def test_decode_kernel_in_layer_forward(monkeypatch):
     assert calls.get("hit")
     np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_xla),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_zero_copy_decode_updates_cache_like_general_path(monkeypatch):
+    """The zero-copy decode step (stacked-cache kernel read + self column +
+    aliased append) must return BOTH the same hidden states and the same
+    updated cache as the general xs/ys path, across several chained steps."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        init_decoder,
+        init_kv_cache,
+    )
+    from icl_speech_text_llm_tpu.ops.attention import make_decode_mask
+
+    cfg = dataclasses.replace(DECODER_CONFIGS["tiny"], n_heads=4, n_kv_heads=2,
+                              head_dim=128)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 256
+    cur0 = jnp.asarray([100, 40], jnp.int32)
+
+    def roll(use_kernel, steps=3):
+        if use_kernel:
+            monkeypatch.setattr(
+                "icl_speech_text_llm_tpu.ops.flash_attention.flash_decode_usable",
+                lambda *a: True)
+        else:
+            monkeypatch.setattr(
+                "icl_speech_text_llm_tpu.ops.flash_attention.flash_decode_usable",
+                lambda *a: False)
+        cache = init_kv_cache(cfg, B, S, dtype=jnp.float32)
+        cur = cur0
+        outs = []
+        for t in range(steps):
+            x = jax.random.normal(jax.random.PRNGKey(10 + t), (B, 1, cfg.dim),
+                                  jnp.float32)
+            mask = make_decode_mask(cur + 1, S)
+            out, cache = decoder_forward(cfg, params, x, mask, cur[:, None],
+                                         cache=cache, cache_positions=cur)
+            outs.append(out)
+            cur = cur + 1
+        return outs, cache
+
+    outs_x, cache_x = roll(False)
+    outs_k, cache_k = roll(True)
+    for ox, ok in zip(outs_x, outs_k):
+        np.testing.assert_allclose(np.asarray(ok), np.asarray(ox),
+                                   rtol=2e-4, atol=2e-4)
+    for key in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(cache_k[key]),
+                                   np.asarray(cache_x[key]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_zero_copy_decode_int8_kv(monkeypatch):
+    """Zero-copy decode over an int8-quantized cache: hidden states track the
+    general int8-KV path; appended int8 rows + scales match exactly."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.llama import (
+        DECODER_CONFIGS,
+        decoder_forward,
+        init_decoder,
+        init_kv_cache,
+    )
+    from icl_speech_text_llm_tpu.ops.attention import make_decode_mask
+
+    cfg = dataclasses.replace(DECODER_CONFIGS["tiny"], n_heads=2, n_kv_heads=2,
+                              head_dim=128)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 256
+    cur = jnp.asarray([64, 30], jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, 1, cfg.dim), jnp.float32)
+    mask = make_decode_mask(cur + 1, S)
+
+    monkeypatch.setattr(
+        "icl_speech_text_llm_tpu.ops.flash_attention.flash_decode_usable",
+        lambda *a: False)
+    cache = init_kv_cache(cfg, B, S, quant=True)
+    out_x, cache_x = decoder_forward(cfg, params, x, mask, cur[:, None],
+                                     cache=cache, cache_positions=cur)
+
+    monkeypatch.setattr(
+        "icl_speech_text_llm_tpu.ops.flash_attention.flash_decode_usable",
+        lambda *a: True)
+    cache = init_kv_cache(cfg, B, S, quant=True)
+    out_k, cache_k = decoder_forward(cfg, params, x, mask, cur[:, None],
+                                     cache=cache, cache_positions=cur)
+    # the zero-copy path attends the current token UNQUANTIZED (the general
+    # path quantizes it before attending) — small numeric gap on top of bf16
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=2e-2, atol=2e-2)
+    for key in ("k_s", "v_s"):
+        # same fma-association noise as the int8 rows below
+        np.testing.assert_allclose(np.asarray(cache_k[key]),
+                                   np.asarray(cache_x[key]),
+                                   rtol=1e-4, atol=1e-6)
+    for key in ("k", "v"):
+        # int8 rows may differ by 1 LSB on round-to-nearest ties (compiler
+        # fusion changes fma association between the two paths)
+        np.testing.assert_allclose(np.asarray(cache_k[key], np.int32),
+                                   np.asarray(cache_x[key], np.int32),
+                                   atol=1)
