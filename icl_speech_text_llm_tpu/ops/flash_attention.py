@@ -913,12 +913,26 @@ def flash_decode_attention_q8(
                          self_kv=self_kv, layer=layer)
 
 
+# Rows per aliased write block along S. TPU block shapes need the
+# second-to-last dim divisible by 8 (and int8's native sublane tile is 32),
+# so the kernel writes a 32-row aligned block and masks the target row in —
+# 32 rows per (L, B, Hkv) is still ~1e-4 of the cache per step.
+_APPEND_ROWS = 32
+
+
 def _append_kernel(positions_ref, nk_ref, nv_ref, ck_ref, cv_ref,
                    ok_ref, ov_ref):
-    # ck/cv blocks are the (aliased) target rows — inputs only because
-    # input_output_aliases requires the aliased buffers as operands
-    ok_ref[0, 0, :, 0, :] = nk_ref[0, 0, :, 0, :]
-    ov_ref[0, 0, :, 0, :] = nv_ref[0, 0, :, 0, :]
+    # ck/cv blocks are the (aliased) 32-row windows holding the target row —
+    # inputs only because input_output_aliases requires the aliased buffers
+    # as operands; all rows but positions[b] % 32 are copied back unchanged
+    b = pl.program_id(1)
+    row = positions_ref[b] % _APPEND_ROWS
+    sel = jax.lax.broadcasted_iota(
+        jnp.int32, ck_ref.shape[2:], 1) == row  # (Hkv, ROWS, D)
+    ok_ref[0, 0] = jnp.where(sel, nk_ref[0, 0, :, 0, :][:, None, :],
+                             ck_ref[0, 0])
+    ov_ref[0, 0] = jnp.where(sel, nv_ref[0, 0, :, 0, :][:, None, :],
+                             cv_ref[0, 0])
 
 
 def append_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
@@ -929,8 +943,9 @@ def append_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
     cache_k/v: (L, B, Hkv, S, D); new_k/v: (L, B, Hkv, 1, D) — ONE decode
     step's kv for every layer at once (collected as tiny scan ys);
     positions: (B,) write index per sample. Returns the SAME buffers
-    (``input_output_aliases``), updated in place: Mosaic writes only the
-    (Hkv, 1, D) target blocks, so the cache never moves. An XLA
+    (``input_output_aliases``), updated in place: Mosaic rewrites only the
+    aligned (Hkv, 32, D) window holding each target row, so the cache never
+    moves. An XLA
     dynamic_update_slice here copies the full cache every decode step —
     XLA does not alias DUS through scan-carried buffers (measured +5 ms/step
     at 7B shapes, scripts/probe_decode_structures.py); a scan xs/ys cache
@@ -939,9 +954,11 @@ def append_kv(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
     planes are cache_bytes/256 and go through plain XLA DUS).
     """
     L, B, Hkv, S, D = cache_k.shape
+    if S % _APPEND_ROWS:
+        raise ValueError(f"cache length {S} must be a multiple of {_APPEND_ROWS}")
     n_spec = pl.BlockSpec((1, 1, Hkv, 1, D), lambda l, b, pos: (l, b, 0, 0, 0))
-    o_spec = pl.BlockSpec((1, 1, Hkv, 1, D),
-                          lambda l, b, pos: (l, b, 0, pos[b], 0))
+    o_spec = pl.BlockSpec((1, 1, Hkv, _APPEND_ROWS, D),
+                          lambda l, b, pos: (l, b, 0, pos[b] // _APPEND_ROWS, 0))
     return pl.pallas_call(
         _append_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
