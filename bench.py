@@ -687,7 +687,11 @@ def bench_serving(jax, tok):
 
     # --- per-program device times (chained calls: donated buffers feed
     # forward exactly as the engine uses them) ---
-    _, t_embed = _timed(embed_jit, params, batches[0], rounds=2, pipeline=6)
+    # embed returns (seq, lengths); the engine keeps seq ON DEVICE, so sync
+    # on a scalar reduce — np.asarray of the (B, L, D) embeddings would add
+    # a ~50 MB tunnel transfer the serving path never pays
+    embed_probe = jax.jit(lambda p, b: embed_jit(p, b)[0].sum())
+    _, t_embed = _timed(embed_probe, params, batches[0], rounds=2, pipeline=6)
 
     def time_decode(iters=12):
         cache, tk, cur, done = engine._cache, engine._tok, engine._cur_len, engine._done
@@ -712,12 +716,21 @@ def bench_serving(jax, tok):
         slots = jnp.full((nb,), engine._scratch, jnp.int32)
         temps = jnp.zeros((nb,), jnp.float32)
         rng = jax.random.PRNGKey(2)
-        cache, toks = engine._cache, None
+
+        def call(cache):
+            # argument spelling must match the engine's own call exactly
+            # (incl. lora_ids) — a different jit signature RECOMPILES, and
+            # the compile lands inside the timed loop
+            return engine._prefill[key](
+                engine.params, cache, seqs, lengths, slots, temps, rng,
+                lora=engine.lora, lora_scaling=engine.lora_scaling,
+                lora_ids=None)
+
+        cache, toks = call(engine._cache)  # warm: compile outside the clock
+        np.asarray(toks)
         t0 = time.perf_counter()
         for _ in range(iters):
-            cache, toks = engine._prefill[key](
-                engine.params, cache, seqs, lengths, slots, temps, rng,
-                lora=engine.lora, lora_scaling=engine.lora_scaling)
+            cache, toks = call(cache)
         np.asarray(toks)
         dt = (time.perf_counter() - t0) / iters
         engine._cache = cache

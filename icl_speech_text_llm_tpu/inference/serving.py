@@ -128,6 +128,15 @@ def _sample_next(logits, temps, rng):
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _flash_prefill_ok(use_flash, L, llm_cfg) -> bool:
+    """Prefill via the Pallas flash kernel when on one chip (``use_flash``
+    is the plain True flag, not a (mesh, axis) tp context) and the bucket
+    shape qualifies — mirrors the static engine's prefill gate."""
+    from ..ops.flash_attention import flash_attention_usable
+
+    return use_flash is True and flash_attention_usable(L, llm_cfg.hd)
+
+
 def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
                     lengths, slots, temps, rng, lora, lora_scaling,
                     lora_ids=None):
@@ -146,6 +155,9 @@ def _prefill_kernel(llm_cfg, scfg, dtype, use_flash, params, cache, seqs,
         llm_cfg, params, seqs, mask, jnp.broadcast_to(jnp.arange(L), (n, L)),
         cache=local, lora=lora, lora_scaling=lora_scaling,
         use_flash_decode=use_flash, lora_ids=lora_ids,
+        # same Pallas flash prefill as the static engine (engine.py) — the
+        # masked XLA path was ~3x slower per admission wave at L=1536
+        flash_lengths=lengths if _flash_prefill_ok(use_flash, L, llm_cfg) else None,
     )
     last = jnp.take_along_axis(hidden, (lengths - 1)[:, None, None], axis=1)
     first_logits = lm_logits(llm_cfg, params, last)[:, 0]  # (n, V)
@@ -180,6 +192,7 @@ def _prefix_register_kernel(llm_cfg, scfg, dtype, use_flash, params, emb,
         llm_cfg, params, emb, mask, jnp.broadcast_to(jnp.arange(Pb), (1, Pb)),
         cache=local, lora=lora, lora_scaling=lora_scaling,
         use_flash_decode=use_flash,
+        flash_lengths=lengths if _flash_prefill_ok(use_flash, Pb, llm_cfg) else None,
     )
     return {k: v[:, 0] for k, v in local.items()}
 
