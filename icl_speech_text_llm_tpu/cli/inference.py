@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache: halves decode-phase KV HBM reads "
                         "(dequant fused into the flash-decode kernel)")
+    p.add_argument("--quantize_int8", action="store_true",
+                   help="weight-only int8 LLM: halves decode weight reads "
+                        "(no-op if llm_params_dir is already quantized)")
+    p.add_argument("--quantize_int4", action="store_true",
+                   help="weight-only group-wise int4 LLM via the Pallas "
+                        "packed-tile decode kernel (13B-on-one-chip layout)")
     p.add_argument("--randomize_swap", action="store_true")
     # packing budget (TPU-native additions)
     p.add_argument("--seq_len", type=int, default=2048)
@@ -123,6 +129,16 @@ def main(argv=None):
                              seed=args.seed, generation=gen,
                              llm_params_dir=args.llm_params_dir,
                              adapter_params_dir=args.adapter_params_dir)
+    if args.quantize_int8 or args.quantize_int4:
+        llm = model.params["llm"]
+        if isinstance(llm["layers"]["attn"]["wq"], dict):
+            logging.info("LLM weights arrived pre-quantized; skipping "
+                         "runtime quantization")
+        else:
+            from ..ops.quant import quantize_decoder
+
+            model.params["llm"] = quantize_decoder(
+                llm, bits=4 if args.quantize_int4 else 8)
     pack_cfg = PackConfig(
         seq_len=args.seq_len, text_len=args.text_len, max_slots=n_slots,
         audio_tokens_per_slot=model.cfg.audio_tokens_per_slot,

@@ -647,6 +647,48 @@ def decoder_forward(
     return x, new_cache
 
 
+def _hoist_q4(layers):
+    """Split stacked int4 leaves out of the layer tree for the decode scan.
+
+    Returns ``(xs_tree, hoisted)``: every ``{"q4", "s"}`` dict in ``layers``
+    has its packed (L, K/2, N) array moved to ``hoisted`` (path-keyed) and
+    the xs copy keeps only the scales. On non-TPU backends (CPU tests) the
+    tree is returned untouched — the scan slices as before.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return layers, {}
+    hoisted = {}
+
+    def rec(node, path):
+        if isinstance(node, dict) and "q4" in node:
+            hoisted[path] = node["q4"]
+            return {"s": node["s"]}
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    out = rec(layers, ())
+    return (out, hoisted) if hoisted else (layers, {})
+
+
+def _reinject_q4(layer, hoisted, li):
+    """Rebuild the per-layer tree inside the scan body: each hoisted path
+    becomes a STACKED int4 dict ({"q4": (L,·,·), "s": this layer's,
+    "layer": li}) that ops/quant.dequant_matmul routes to the
+    scalar-prefetched kernel read."""
+
+    def rec(node, path):
+        if path in hoisted:
+            return {"q4": hoisted[path], "s": node["s"], "layer": li}
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return rec(layer, ())
+
+
 def _decode_step_zero_copy(
     cfg: DecoderConfig,
     params: Dict[str, Any],
@@ -688,9 +730,19 @@ def _decode_step_zero_copy(
     dummy = jnp.zeros((cfg.n_layers, 1))
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)[:, None]  # (L, 1)
     lengths = cache_positions  # PREVIOUS tokens; the self column is separate
+    # int4 weights: the packed arrays stay OUT of the scan xs — a scan-xs
+    # slice COPIES each layer's packed weights before the Pallas kernel can
+    # read them (read + write + kernel read = 3× the weight traffic; at 13B
+    # that is the difference between a ~29 ms and a ~16 ms decode step). The
+    # kernel instead streams layer ``li`` straight from the stacked HBM
+    # buffer (ops/int4_matmul layer=), exactly like the stacked-cache read.
+    # Scales (1/128 the bytes) keep riding the scan.
+    xs_layers, hoisted_q4 = _hoist_q4(params["layers"])
 
     def scan_body(x, sc):
         layer, lo, li = sc
+        if hoisted_q4:
+            layer = _reinject_q4(layer, hoisted_q4, li)
         lo = lo if use_lora else None
         q, k, v = _qkv_heads(cfg, layer, lo, lora_scaling, x, positions,
                              inv_freq, lora_ids)
@@ -711,7 +763,7 @@ def _decode_step_zero_copy(
         x = _attn_out_mlp(cfg, layer, lo, lora_scaling, x, out, lora_ids)
         return x, new
 
-    xs = (params["layers"], lora if use_lora else dummy, layer_ids)
+    xs = (xs_layers, lora if use_lora else dummy, layer_ids)
     x, new_kv = jax.lax.scan(scan_body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     ck, cv = append_kv(cache["k"], cache["v"], new_kv[0], new_kv[1],

@@ -42,13 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_BYTES_BUDGET = 2_900_000
 
 
-def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc, *,
-                 n_k: int, group: int, sub: int):
+def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool):
     """One (n, k) grid step: ``sub`` quant groups of packed rows → 2·sub dots.
 
     Blocks (all static): x_lo/x_hi (M, bk) — this step's input rows for the
-    low/high nibbles; w (bk, bn) packed uint8; s_lo/s_hi (sub, bn) scales.
+    low/high nibbles; w (bk, bn) packed uint8 ((1, bk, bn) when ``stacked`` —
+    the layer picked by the scalar-prefetched block index, whose ref leads
+    the argument list); s_lo/s_hi (sub, bn) scales.
     """
+    if stacked:  # leading scalar-prefetch ref (the layer index)
+        _, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc = refs
+    else:
+        x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc = refs
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -56,9 +61,10 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc, *,
         acc[...] = jnp.zeros(acc.shape, jnp.float32)
 
     dot = functools.partial(jax.lax.dot, preferred_element_type=jnp.float32)
+    w_blk = w_ref[0] if stacked else w_ref
     for j in range(sub):  # static unroll over the tile's quant groups
         rows = slice(j * group, (j + 1) * group)
-        w32 = w_ref[rows, :].astype(jnp.int32)
+        w32 = w_blk[rows, :].astype(jnp.int32)
         lo = ((w32 & 0xF) - 8).astype(x_lo_ref.dtype)
         hi = ((w32 >> 4) - 8).astype(x_hi_ref.dtype)
         acc[...] += dot(x_lo_ref[:, rows], lo) * s_lo_ref[0, j:j + 1, :]
@@ -71,11 +77,22 @@ def _int4_kernel(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc, *,
 
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 block_n: Optional[int] = None,
-                block_k: int = 512) -> jnp.ndarray:
+                block_k: int = 512,
+                layer: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x (M, K) @ int4-packed weight → (M, N).
 
     ``packed`` (K/2, N) uint8 split-half nibbles, ``scales`` (K/group, N) f32
     (group inferred; both halves hold whole groups by construction).
+
+    ``layer``: (1,) int32 — ``packed`` is then the FULL STACKED weight with a
+    leading n_layers axis and the kernel streams layer ``layer[0]`` straight
+    from HBM via the scalar-prefetched block index. Inside the decode layer
+    scan this matters a lot: a scan-xs slice of the packed weights
+    materializes a per-layer COPY before the kernel can read it (Pallas
+    cannot consume a fused dynamic-slice), tripling the physical weight
+    traffic (slice read + slice write + kernel read). ``scales`` stays this
+    layer's 2D (K/group, N) — per-layer scale slices are 1/128 the bytes and
+    may ride the scan.
 
     Default ``block_n``: the largest 128-multiple divisor of N whose packed
     tile (block_k × block_n bytes) stays ≤ ~2.8 MB. Tile GEOMETRY dominates
@@ -85,7 +102,8 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     re-reads x N/bn times and pays per-program overhead; tiles much past
     ~3 MB fail Mosaic compilation at bk=512."""
     M, K = x.shape
-    half, N = packed.shape
+    stacked = layer is not None
+    half, N = packed.shape[1:] if stacked else packed.shape
     n_groups = scales.shape[0]
     group = K // n_groups
     g_half = n_groups // 2
@@ -105,13 +123,38 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     sub = bk // group
     n_k = half // bk
     grid = (N // bn, n_k)
-    kernel = functools.partial(_int4_kernel, n_k=n_k, group=group, sub=sub)
+    kernel = functools.partial(_int4_kernel, n_k=n_k, group=group, sub=sub,
+                               stacked=stacked)
     x_lo, x_hi = x[:, : K // 2], x[:, K // 2:]
     # scales regrouped per K tile: (n_k, sub, N) so the block's last two dims
     # match the array exactly (Mosaic's sublane rule forbids a bare (sub, bn)
     # block when sub < 8); the kernel indexes rows statically
     s_lo = scales[:g_half].reshape(n_k, sub, N)
     s_hi = scales[g_half:].reshape(n_k, sub, N)
+    if stacked:
+        # index maps see the prefetched scalar: (n, k, layer_ref)
+        w_spec = pl.BlockSpec((1, bk, bn), lambda n, k, lyr: (lyr[0], k, n))
+        specs = [
+            pl.BlockSpec((M, bk), lambda n, k, lyr: (0, k)),
+            pl.BlockSpec((M, bk), lambda n, k, lyr: (0, k)),
+            w_spec,
+            pl.BlockSpec((1, sub, bn), lambda n, k, lyr: (k, 0, n)),
+            pl.BlockSpec((1, sub, bn), lambda n, k, lyr: (k, 0, n)),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=specs,
+                out_specs=pl.BlockSpec((M, bn), lambda n, k, lyr: (0, n)),
+                scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(layer.astype(jnp.int32), x_lo, x_hi, packed, s_lo, s_hi)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -111,6 +111,20 @@ def dequant_matmul(x: jnp.ndarray, w) -> jnp.ndarray:
 
         lead = x.shape[:-1]
         m = math.prod(lead)
+        if "layer" in w:
+            # STACKED decode form ({"q4": (L, K/2, N), "s": (K/group, N) this
+            # layer's, "layer": (1,) int32}, built by the zero-copy decode
+            # step): the kernel streams layer w["layer"][0] straight from the
+            # stacked HBM buffer — the caller never slices the packed
+            # weights (a scan-xs slice copies them, tripling weight traffic).
+            if int4_matmul_usable((m, x.shape[-1]), w["q4"].shape[1:],
+                                  w["s"].shape):
+                y = int4_matmul(x.reshape(m, x.shape[-1]), w["q4"], w["s"],
+                                layer=w["layer"])
+                return y.reshape(*lead, y.shape[-1])
+            p = jax.lax.dynamic_index_in_dim(w["q4"], w["layer"][0], 0,
+                                             keepdims=False)
+            return x @ _dequant_int4({"q4": p, "s": w["s"]}, x.dtype)
         if w["q4"].ndim == 2 and int4_matmul_usable(
             (m, x.shape[-1]), w["q4"].shape, w["s"].shape
         ):

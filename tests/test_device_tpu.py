@@ -158,6 +158,43 @@ chunked = serve(ServingConfig(num_slots=2, max_new_tokens=5,
                               admit_batch=2, chunk_len=16), full)
 print("SERVING_PREFIX", int(prefixed == plain))
 print("SERVING_CHUNKED", int(chunked == plain))
+
+# --- 7) int4 zero-copy decode step (stacked packed weights streamed by the
+# scalar-prefetched kernel — never sliced by the scan) vs the XLA decode
+# path over the same quantized values ---
+from icl_speech_text_llm_tpu.models.llama import (
+    DecoderConfig, init_decoder, decoder_forward, init_kv_cache)
+from icl_speech_text_llm_tpu.ops.quant import quantize_decoder
+
+zcfg = DecoderConfig(vocab_size=512, dim=256, n_layers=2, n_heads=2,
+                     n_kv_heads=2, hidden_dim=512, max_seq_len=256)
+zp = quantize_decoder(init_decoder(jax.random.PRNGKey(6), zcfg), bits=4)
+kz = jax.random.split(jax.random.PRNGKey(7), 2)
+S3 = 128
+zcache = {
+    "k": (jax.random.normal(kz[0], (2, 2, 2, S3, 128)) * 0.3).astype(jnp.bfloat16),
+    "v": (jax.random.normal(kz[1], (2, 2, 2, S3, 128)) * 0.3).astype(jnp.bfloat16),
+}
+zx = (jax.random.normal(jax.random.PRNGKey(8), (2, 1, 256)) * 0.3).astype(jnp.bfloat16)
+zpos_c = jnp.array([100, 37], jnp.int32)
+zpos = zpos_c[:, None]
+zmask = make_decode_mask(zpos_c + 1, S3)  # self position included (engine.py:149)
+outs = {}
+for tag, ufd in (("zc", True), ("xla", False)):
+    o, nc = jax.jit(lambda p, c: decoder_forward(
+        zcfg, p, zx, zmask, zpos, cache=c, cache_positions=zpos_c,
+        use_flash_decode=ufd))(zp, {k: v.copy() for k, v in zcache.items()})
+    outs[tag] = (np.asarray(o, np.float32), np.asarray(nc["k"], np.float32),
+                 np.asarray(nc["v"], np.float32))
+dh = np.abs(outs["zc"][0] - outs["xla"][0]).max()
+rel = dh / (np.abs(outs["xla"][0]).max() + 1e-9)
+# appended cache rows must match where written
+rows_zc = np.stack([outs["zc"][1][:, b, :, p] for b, p in enumerate([100, 37])])
+rows_xla = np.stack([outs["xla"][1][:, b, :, p] for b, p in enumerate([100, 37])])
+# relative: k magnitudes are ~2-4 here (unit-RMS h times dense_init wk), so
+# one bf16 ulp is ~0.016-0.03 absolute — normalize before bounding
+dk = np.abs(rows_zc - rows_xla).max() / (np.abs(rows_xla).max() + 1e-9)
+print("ZEROCOPY_INT4", rel, dk)
 """
 
 
@@ -174,7 +211,8 @@ def device_results():
         parts = line.split()
         if parts and parts[0] in ("GATED_BIAS", "FLASH", "INT4",
                                   "DECODE_MHA", "DECODE_GQA7", "DECODE_Q8",
-                                  "SERVING_PREFIX", "SERVING_CHUNKED"):
+                                  "SERVING_PREFIX", "SERVING_CHUNKED",
+                                  "ZEROCOPY_INT4"):
             out[parts[0]] = [float(p) for p in parts[1:]]
     return out
 
@@ -221,3 +259,15 @@ def test_serving_prefix_cache_token_exact_on_device(device_results):
 def test_serving_chunked_prefill_token_exact_on_device(device_results):
     (ok,) = device_results["SERVING_CHUNKED"]
     assert ok == 1.0
+
+
+def test_zero_copy_int4_stacked_weights_match_xla(device_results):
+    """The int4 zero-copy decode step (packed weights hoisted out of the
+    layer scan, streamed by the scalar-prefetched kernel) must match the XLA
+    decode path over the same quantized values at bf16 resolution, and the
+    appended KV rows must agree (relative, bf16 resolution: the two paths
+    compute k/v with different matmul arithmetic — f32-accum kernel vs bf16
+    XLA dequant — so appended values differ by ~1 ulp)."""
+    rel, dk = device_results["ZEROCOPY_INT4"]
+    assert rel < 0.05, rel
+    assert dk < 0.02, dk

@@ -67,3 +67,39 @@ def test_dequant_matmul_routes_and_matches():
     fallback = np.asarray(quant.dequant_matmul(x, qt))  # cpu → unpack path
     ref = np.asarray(x @ _dequant_int4(qt, jnp.float32))
     np.testing.assert_allclose(fallback, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_stacked_layer_read_matches_slice():
+    """layer= (stacked packed weights, scalar-prefetched layer index) must
+    equal the 2D slice for every layer."""
+    L, M, K, N = 3, 4, 512, 256
+    kx, kw = jax.random.split(jax.random.PRNGKey(7))
+    x = jax.random.normal(kx, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(kw, (L, K, N), jnp.float32) * 0.05
+    qt = quantize_tensor_int4(w)
+    for l in range(L):
+        ref = int4_matmul(x, qt["q4"][l], qt["s"][l])
+        out = int4_matmul(x, qt["q4"], qt["s"][l],
+                          layer=jnp.array([l], jnp.int32))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_dequant_matmul_stacked_form():
+    """The {"q4": stacked, "s": per-layer, "layer": idx} dict form must match
+    the plain per-layer dict through dequant_matmul (CPU falls back to an
+    indexed dequant)."""
+    from icl_speech_text_llm_tpu.ops import quant
+
+    L, M, K, N = 3, 4, 512, 256
+    kx, kw = jax.random.split(jax.random.PRNGKey(8))
+    x = jax.random.normal(kx, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(kw, (L, K, N), jnp.float32) * 0.05
+    qt = quantize_tensor_int4(w)
+    for l in range(L):
+        ref = np.asarray(quant.dequant_matmul(
+            x, {"q4": qt["q4"][l], "s": qt["s"][l]}))
+        out = np.asarray(quant.dequant_matmul(
+            x, {"q4": qt["q4"], "s": qt["s"][l],
+                "layer": jnp.array([l], jnp.int32)}))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
