@@ -77,7 +77,8 @@ def _decode_step_bytes(llm_params, lora, cfg, B: int, kv_len: int) -> float:
         for x in jax.tree_util.tree_leaves(sub))
     if lora is not None:
         weight_bytes += sum(x.nbytes for x in jax.tree_util.tree_leaves(lora))
-    kv_elem_bytes = 2  # bf16 cache
+    # int8 KV: 1 byte/element + one f32 scale per (position, head) plane
+    kv_elem_bytes = (1 + 4 / cfg.llm.hd) if _KV_INT8 else 2
     kv = cfg.llm.n_layers * B * kv_len * cfg.llm.n_kv_heads * cfg.llm.hd * 2 * kv_elem_bytes
     return weight_bytes + kv
 
