@@ -830,8 +830,15 @@ def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k,
     # per-step byte budget (≥1 always)
     kv_itemsize = 1 if quant else k.dtype.itemsize
     per_head = 2 * bk * D * kv_itemsize
-    hb = next(h for h in range(Hkv, 0, -1)
-              if Hkv % h == 0 and (h == 1 or h * per_head <= _DECODE_TILE_BUDGET))
+    # int8-KV scale blocks are (…, hb, bk): Mosaic requires the sublane dim
+    # (hb) divisible by 8 or equal to the full Hkv axis — 13B MHA (Hkv=40)
+    # would otherwise pick hb=5 and fail to lower
+    def _hb_ok(h):
+        return (not quant) or h % 8 == 0 or h == Hkv
+
+    cands = [h for h in range(Hkv, 0, -1) if Hkv % h == 0 and _hb_ok(h)]
+    hb = next((h for h in cands if h * per_head <= _DECODE_TILE_BUDGET),
+              cands[-1])
     # (B, H, 1, D) → (B, Hkv, r, D): row j of group kvh is query head kvh·r+j
     qg = q.reshape(B, Hkv, n_rep, D)
     q8 = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - n_rep), (0, 0)))
