@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import NEG_INF, dot_product_attention
-from .common import dense_init, layer_norm, split_keys
+from .common import dense_init, gelu, layer_norm, split_keys
 
 FBANK_MEAN = 15.41663
 FBANK_STD = 6.55582
@@ -294,7 +294,7 @@ def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
     out = out + p["b"].astype(x.dtype)
     if cfg.conv_pos % 2 == 0:
         out = out[:, :-1]
-    return jax.nn.gelu(out, approximate=False)
+    return gelu(out)
 
 
 def _gated_bias(cfg: BeatsConfig, a, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
@@ -360,7 +360,7 @@ def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray],
     # deep-norm: residual scaled by alpha before post-LN
     x = layer_norm(x * cfg.deep_norm_alpha + out, layer["ln_attn"]["w"], layer["ln_attn"]["b"])
     m = layer["mlp"]
-    h = jax.nn.gelu(x @ m["w1"].astype(dt) + m["b1"].astype(dt), approximate=False)
+    h = gelu(x @ m["w1"].astype(dt) + m["b1"].astype(dt))
     h = h @ m["w2"].astype(dt) + m["b2"].astype(dt)
     return layer_norm(x * cfg.deep_norm_alpha + h, layer["ln_mlp"]["w"], layer["ln_mlp"]["b"])
 

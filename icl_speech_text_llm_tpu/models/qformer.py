@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
-from .common import dense_init, layer_norm, split_keys
+from .common import dense_init, gelu, layer_norm, split_keys
 
 
 @dataclass(frozen=True)
@@ -112,7 +112,7 @@ def _layer_forward(cfg: QFormerConfig, layer, q, windows, mask):
     q = layer_norm(q + _mha(cfg, layer["cross_attn"], q, windows, mask),
                    layer["ln_cross"]["w"], layer["ln_cross"]["b"])
     m = layer["mlp"]
-    h = jax.nn.gelu(q @ m["w1"].astype(q.dtype) + m["b1"].astype(q.dtype), approximate=False)
+    h = gelu(q @ m["w1"].astype(q.dtype) + m["b1"].astype(q.dtype))
     h = h @ m["w2"].astype(q.dtype) + m["b2"].astype(q.dtype)
     return layer_norm(q + h, layer["ln_mlp"]["w"], layer["ln_mlp"]["b"])
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
-from .common import dense_init, layer_norm, sinusoidal_positions, split_keys
+from .common import dense_init, gelu, layer_norm, sinusoidal_positions, split_keys
 
 
 @dataclass(frozen=True)
@@ -122,7 +122,7 @@ def _block_forward(
 
     h = layer_norm(x, block["ln2"]["w"], block["ln2"]["b"])
     m = block["mlp"]
-    h = jax.nn.gelu(h @ m["w1"].astype(x.dtype) + m["b1"].astype(x.dtype), approximate=False)
+    h = gelu(h @ m["w1"].astype(x.dtype) + m["b1"].astype(x.dtype))
     x = x + (h @ m["w2"].astype(x.dtype) + m["b2"].astype(x.dtype))
     return x
 
@@ -146,8 +146,8 @@ def whisper_encode(
     builds a key-padding mask over the audio tower). Rows past the length
     are garbage and must be discarded by the caller's splice."""
     x = mel.astype(dtype).transpose(0, 2, 1)  # (B, 3000, n_mels)
-    x = jax.nn.gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1), approximate=False)
-    x = jax.nn.gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2), approximate=False)
+    x = gelu(_conv1d(x, params["conv1"]["w"], params["conv1"]["b"], 1))
+    x = gelu(_conv1d(x, params["conv2"]["w"], params["conv2"]["b"], 2))
     x = x + params["positions"].astype(dtype)[None, : x.shape[1]]
 
     lengths = frame_lengths

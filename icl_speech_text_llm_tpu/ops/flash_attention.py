@@ -414,21 +414,23 @@ def default_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
 
     128×128 tiles underutilize the MXU (especially at head_dim 64); large
     tiles win everywhere:
-    - non-causal (encoders): (512, kv_len) — full-row KV per Q tile was
-      fastest (5.7 ms vs 9.0 XLA / 19.9 at 128×128 on 24×8×1536×64);
+    - non-causal (encoders): (768, kv_len) — full-row KV per Q tile, fat Q
+      tiles (r3 sweep at 6×20×1536×64, scripts/sweep_flash_encoder.py:
+      768/1536 1.097 ms vs 512/1536 1.204 vs 1536/1536 1.350; r2 sweep:
+      512/1536 5.7 ms vs 9.0 XLA / 19.9 at 128×128 on 24×8×1536×64);
     - causal (prefill): (256, 512) — big KV tiles but enough Q tiles to keep
       diagonal block-skipping effective (3.5 ms vs 4.4 XLA at 4×8×1536×128).
     """
 
     def pick(target, n):
-        for b in (target, 512, 256, 128):
+        for b in (target, 768, 512, 256, 128):
             if b <= n and n % b == 0:
                 return b
         return n
 
     if causal:
         return pick(256, seq_len), pick(512, kv_len)
-    return pick(512, seq_len), pick(kv_len, kv_len)
+    return pick(768, seq_len), pick(kv_len, kv_len)
 
 
 def default_bwd_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
