@@ -591,10 +591,16 @@ def flash_attention_gated_bias(
     grep_a: jnp.ndarray,  # (H,)
     lengths: jnp.ndarray,  # (B,) valid KV lengths
     sm_scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 768,
+    block_k: int = 1536,
 ) -> jnp.ndarray:
-    """BEATs/WavLM gated-rel-pos attention, flash-style (forward only)."""
+    """BEATs/WavLM gated-rel-pos attention, flash-style (forward only).
+
+    Default blocks from the r3 sweep at the BEATs-large shape
+    (scripts/sweep_gated_bias.py, 6×12×1536×64): (768, 1536) 0.809 ms vs
+    the old (256, 512) 2.093 ms — 2.6×. Small KV tiles re-stream the q/xh
+    tiles and underfill the MXU; the (1, 768, 1536) bf16 bias tile is
+    2.25 MB, well inside VMEM next to the f32 scratch."""
     B, H, S, D = q.shape
     if sm_scale is None:
         sm_scale = D**-0.5

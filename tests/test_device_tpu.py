@@ -36,7 +36,9 @@ from icl_speech_text_llm_tpu.ops.flash_attention import (
 from icl_speech_text_llm_tpu.ops.attention import (
     dot_product_attention, make_prefill_mask)
 
-B, H, S, D = 2, 4, 512, 128
+# S=1536 exercises the production fat-tile config (bq=768, bk=1536 —
+# the r3 sweep winner); shorter S collapses to square tiles
+B, H, S, D = 2, 4, 1536, 128
 ks = jax.random.split(jax.random.PRNGKey(0), 8)
 q = jax.random.normal(ks[0], (B, H, S, D)) * 0.3
 k = jax.random.normal(ks[1], (B, H, S, D)) * 0.3
@@ -46,7 +48,7 @@ bias = jax.random.normal(ks[4], (H, S, S)) * 0.5
 grep_w = jax.random.normal(ks[5], (D, 8)) * 0.2
 grep_b = jax.random.normal(ks[6], (8,)) * 0.1
 grep_a = 1.0 + 0.1 * jax.random.normal(ks[7], (H,))
-lengths = jnp.array([512, 300])
+lengths = jnp.array([1536, 1100])
 
 out = flash_attention_gated_bias(q, k, v, xh, bias, grep_w, grep_b,
                                  grep_a, lengths)
@@ -60,14 +62,14 @@ valid = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None]
 logits = jnp.where(valid, logits, -1e30)
 ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
 d0 = float(np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max())
-d1 = float(np.abs(np.asarray(out[1, :, :300]) - np.asarray(ref[1, :, :300])).max())
+d1 = float(np.abs(np.asarray(out[1, :, :1100]) - np.asarray(ref[1, :, :1100])).max())
 print("GATED_BIAS", d0, d1)
 
 # --- 2) plain flash kernel (decoder path) vs XLA attention ---
 out = flash_attention(q, k, v, lengths=lengths, causal=True)
 ref = dot_product_attention(q, k, v, make_prefill_mask(lengths, S))
 d0 = float(np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max())
-d1 = float(np.abs(np.asarray(out[1, :, :300]) - np.asarray(ref[1, :, :300])).max())
+d1 = float(np.abs(np.asarray(out[1, :, :1100]) - np.asarray(ref[1, :, :1100])).max())
 print("FLASH", d0, d1)
 
 # --- 3) packed-tile int4 kernel vs explicit dequant matmul ---
