@@ -418,8 +418,11 @@ def default_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
       tiles (r3 sweep at 6×20×1536×64, scripts/sweep_flash_encoder.py:
       768/1536 1.097 ms vs 512/1536 1.204 vs 1536/1536 1.350; r2 sweep:
       512/1536 5.7 ms vs 9.0 XLA / 19.9 at 128×128 on 24×8×1536×64);
-    - causal (prefill): (256, 512) — big KV tiles but enough Q tiles to keep
-      diagonal block-skipping effective (3.5 ms vs 4.4 XLA at 4×8×1536×128).
+    - causal (prefill): (512, 1024) — r3 sweep at the 7B prefill shape
+      (scripts/sweep_flash_causal.py, 4×32×1024×128): 512/1024 0.725 ms vs
+      the old 256/512 default 0.975; 512-row Q tiles keep diagonal
+      block-skipping meaningful at longer S where 1024/1024 (0.708 there)
+      would compute the full square.
     """
 
     def pick(target, n):
@@ -429,7 +432,7 @@ def default_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
         return n
 
     if causal:
-        return pick(256, seq_len), pick(512, kv_len)
+        return pick(512, seq_len), pick(1024, kv_len)
     return pick(768, seq_len), pick(kv_len, kv_len)
 
 
