@@ -600,10 +600,12 @@ def flash_attention_gated_bias(
     """BEATs/WavLM gated-rel-pos attention, flash-style (forward only).
 
     Default blocks from the r3 sweep at the BEATs-large shape
-    (scripts/sweep_gated_bias.py, 6×12×1536×64): (768, 1536) 0.809 ms vs
-    the old (256, 512) 2.093 ms — 2.6×. Small KV tiles re-stream the q/xh
-    tiles and underfill the MXU; the (1, 768, 1536) bf16 bias tile is
-    2.25 MB, well inside VMEM next to the f32 scratch."""
+    (scripts/sweep_gated_bias.py, 6×12×1536×64 bf16): (768, 1536) 0.809 ms
+    vs the old (256, 512) 2.093 ms — 2.6×. Small KV tiles re-stream the
+    q/xh tiles and underfill the MXU. Tiles auto-shrink when the estimated
+    per-program VMEM footprint exceeds the scoped budget (f32 inputs at
+    D=128 overflow the 16 MB limit at the full (768, 1536) default —
+    measured 16.93M on the v5e; production bf16/D=64 keeps the fat tiles)."""
     B, H, S, D = q.shape
     if sm_scale is None:
         sm_scale = D**-0.5
@@ -611,6 +613,21 @@ def flash_attention_gated_bias(
         raise ValueError(f"flash_attention_gated_bias needs S % 128 == 0, got {S}")
     bq = next(b for b in range(min(block_q, S), 0, -128) if S % b == 0)
     bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
+
+    # estimated per-program VMEM (double-buffered operands + f32 scratch);
+    # the Mosaic scoped limit is 16 MB and the compiler adds its own stack,
+    # so shrink the larger tile dim while a conservative budget is exceeded
+    isz = q.dtype.itemsize
+    def _tile_bytes(tq, tk):
+        io = (3 * tq * D + 2 * tk * D) * isz + tq * tk * 2 + tq * D * isz
+        scratch = tq * (2 * MIN_LANES + D) * 4
+        return 2 * io + scratch
+
+    while _tile_bytes(bq, bk) > 11_000_000 and (bq > 128 or bk > 128):
+        if bk >= bq and bk > 128:
+            bk = next(b for b in range(bk - 128, 0, -128) if S % b == 0)
+        else:
+            bq = next(b for b in range(bq - 128, 0, -128) if S % b == 0)
     grid = (B, H, S // bq, S // bk)
     kernel = functools.partial(
         _flash_bias_kernel, sm_scale=sm_scale, block_q=bq, block_k=bk)
