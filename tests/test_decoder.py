@@ -193,3 +193,42 @@ def test_lora_bank_per_sample_matches_single_adapter(setup):
         )
         np.testing.assert_allclose(np.asarray(h_bank[row]), np.asarray(h_one[0]),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_hoist_q4_roundtrip(monkeypatch):
+    """_hoist_q4 pulls stacked int4 packed arrays out of the scan xs tree and
+    _reinject_q4 rebuilds per-layer dicts with the scalar layer index — the
+    TPU-only fast path; on CPU the hoist is a no-op (backend gate)."""
+    from icl_speech_text_llm_tpu.models.llama import _hoist_q4, _reinject_q4
+    from icl_speech_text_llm_tpu.ops.quant import quantize_decoder
+
+    cfg = DECODER_CONFIGS["tiny"]
+    params = quantize_decoder(init_decoder(jax.random.PRNGKey(0), cfg), bits=4)
+    layers = params["layers"]
+
+    # CPU: untouched tree, empty hoist
+    xs, hoisted = _hoist_q4(layers)
+    assert hoisted == {} and xs is layers
+
+    # forced TPU: every q4 leaf hoisted; scales stay in xs
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    xs, hoisted = _hoist_q4(layers)
+    assert len(hoisted) == 7  # wq wk wv wo w_gate w_up w_down
+    for path, packed in hoisted.items():
+        node = layers
+        for k in path:
+            node = node[k]
+        assert packed is node["q4"]
+        xnode = xs
+        for k in path:
+            xnode = xnode[k]
+        assert set(xnode) == {"s"}
+
+    # reinject: per-layer slice gets {"q4": stacked, "s": sliced, "layer": li}
+    sliced = jax.tree_util.tree_map(lambda x: x[1], xs)
+    li = jnp.array([1], jnp.int32)
+    layer = _reinject_q4(sliced, hoisted, li)
+    wq = layer["attn"]["wq"]
+    assert wq["q4"].ndim == 3 and wq["layer"] is li
+    np.testing.assert_array_equal(
+        np.asarray(wq["s"]), np.asarray(layers["attn"]["wq"]["s"][1]))
