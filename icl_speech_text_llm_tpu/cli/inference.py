@@ -62,12 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV cache: halves decode-phase KV HBM reads "
                         "(dequant fused into the flash-decode kernel)")
-    p.add_argument("--quantize_int8", action="store_true",
-                   help="weight-only int8 LLM: halves decode weight reads "
-                        "(no-op if llm_params_dir is already quantized)")
-    p.add_argument("--quantize_int4", action="store_true",
-                   help="weight-only group-wise int4 LLM via the Pallas "
-                        "packed-tile decode kernel (13B-on-one-chip layout)")
+    quant = p.add_mutually_exclusive_group()
+    quant.add_argument("--quantize_int8", action="store_true",
+                       help="weight-only int8 LLM: halves decode weight "
+                            "reads (error if llm_params_dir is already "
+                            "quantized at a different width)")
+    quant.add_argument("--quantize_int4", action="store_true",
+                       help="weight-only group-wise int4 LLM via the Pallas "
+                            "packed-tile decode kernel (13B-on-one-chip "
+                            "layout)")
     p.add_argument("--randomize_swap", action="store_true")
     # packing budget (TPU-native additions)
     p.add_argument("--seq_len", type=int, default=2048)
@@ -81,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
                    help="persistent XLA compilation cache dir: first compiles\n"
                         "(20-40 s/program on TPU) become one-time across processes")
+    p.add_argument("--auto_batch", "--optimize_batch_size",
+                   action="store_true",
+                   help="pick the largest batch size whose COMPILED generate "
+                        "program fits HBM (compiler memory analysis, no OOM "
+                        "probing; the reference's --optimize_batch_size was "
+                        "a stub, ref: inference/inference.py:252-256)")
+    p.add_argument("--auto_batch_max", type=int, default=64,
+                   help="--auto_batch search ceiling")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. 'cpu'); default: auto")
     return p
@@ -132,8 +143,20 @@ def main(argv=None):
     if args.quantize_int8 or args.quantize_int4:
         llm = model.params["llm"]
         if isinstance(llm["layers"]["attn"]["wq"], dict):
-            logging.info("LLM weights arrived pre-quantized; skipping "
-                         "runtime quantization")
+            # pre-quantized checkpoint: int4 stores packed nibbles under
+            # "q4", int8 stores bytes under "q" (ops/quant.py) — a width
+            # mismatch silently running the wrong layout (e.g. int8 13B,
+            # which OOMs one chip) must be a hard error, not an info log
+            have = 4 if "q4" in llm["layers"]["attn"]["wq"] else 8
+            want = 4 if args.quantize_int4 else 8
+            if have != want:
+                raise SystemExit(
+                    f"--quantize_int{want} requested but llm_params_dir is "
+                    f"already int{have}-quantized; re-convert the checkpoint "
+                    f"(cli/convert.py) or drop the flag")
+            logging.info("LLM weights arrived pre-quantized at the "
+                         "requested int%d width; skipping runtime "
+                         "quantization", want)
         else:
             from ..ops.quant import quantize_decoder
 
@@ -159,6 +182,35 @@ def main(argv=None):
         seed=args.seed,
         prompt_style="qwen" if args.model_type.lower().startswith("qwen") else "salmonn",
     )
+
+    if args.auto_batch:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.collate import collate_icl_batch
+        from ..inference.engine import salmonn_generate
+        from ..utils.memory import BatchSizeOptimizer, tile_batch
+
+        pb = collate_icl_batch([dataset[0]], model.tokenizer, pack_cfg)
+        probe = {
+            "text_tokens": pb.text_tokens,
+            "gather_idx": pb.gather_idx,
+            "seq_lengths": pb.seq_lengths,
+            **pb.audio,
+        }
+        fn = functools.partial(salmonn_generate, model.cfg, model.engine.gen)
+        sizer = BatchSizeOptimizer(
+            fn,
+            lambda bs: (model.params,
+                        jax.tree_util.tree_map(jnp.asarray, tile_batch(probe, bs))),
+            max_batch=args.auto_batch_max)
+        picked = sizer.find_optimal_batch_size(start=1)
+        if picked and picked != args.batch_size:
+            logging.info("--auto_batch: batch_size %d → %d (largest whose "
+                         "compiled generate fits HBM)", args.batch_size, picked)
+            args.batch_size = picked
 
     settings = InferenceSettings(
         batch_size=args.batch_size,

@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=os.environ.get("ICL_TPU_COMPILE_CACHE"),
                    help="persistent XLA compilation cache dir: first compiles\n"
                         "(20-40 s/program on TPU) become one-time across processes")
+    p.add_argument("--auto_batch", action="store_true",
+                   help="pick the largest batch size whose COMPILED train "
+                        "step fits HBM (compiler memory analysis at the "
+                        "bucketed shapes — no OOM probing; the reference's "
+                        "--optimize_batch_size was a stub, "
+                        "ref: inference/inference.py:252-256)")
+    p.add_argument("--auto_batch_max", type=int, default=64,
+                   help="--auto_batch search ceiling")
     p.add_argument("--platform", type=str, default=None)
     return p
 
@@ -147,24 +155,45 @@ def main(argv=None):
         split=DatasetSplit(args.val_split), is_training=False, **common,
     )
 
-    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
-    total_steps = steps_per_epoch * args.num_epochs
-    schedule = get_schedule(args.scheduler, args.learning_rate, args.warmup_steps,
-                            total_steps, steps_per_epoch)
-    opt = OptimizerSettings(
-        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
-        max_grad_norm=args.max_grad_norm,
-        grad_accum_steps=args.gradient_accumulation_steps, schedule=schedule,
-    )
-    optimizer = make_optimizer(opt)
-    state, frozen = init_train_state(model.params, optimizer)
     if args.model_type.lower().startswith("qwen"):
         from ..models.qwen_audio import qwen_audio_train_loss as loss_fn
     else:
         from ..models.salmonn import salmonn_train_loss as loss_fn
-    step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
-                              remat=args.gradient_checkpointing,
-                              pipeline=pipeline)
+
+    def _build(batch_size):
+        steps_per_epoch = max(1, len(train_ds) // batch_size)
+        total_steps = steps_per_epoch * args.num_epochs
+        schedule = get_schedule(args.scheduler, args.learning_rate,
+                                args.warmup_steps, total_steps, steps_per_epoch)
+        opt = OptimizerSettings(
+            learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            grad_accum_steps=args.gradient_accumulation_steps, schedule=schedule,
+        )
+        optimizer = make_optimizer(opt)
+        state, frozen = init_train_state(model.params, optimizer)
+        step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
+                                  remat=args.gradient_checkpointing,
+                                  pipeline=pipeline)
+        return state, frozen, step_fn
+
+    state, frozen, step_fn = _build(args.batch_size)
+    if args.auto_batch:
+        from ..data.collate import collate_icl_batch
+        from ..training.loop import _device_batch
+        from ..utils.memory import BatchSizeOptimizer, tile_batch
+
+        probe = _device_batch(
+            collate_icl_batch([train_ds[0]], model.tokenizer, pack_cfg))
+        sizer = BatchSizeOptimizer(
+            step_fn, lambda bs: (state, frozen, tile_batch(probe, bs)),
+            max_batch=args.auto_batch_max)
+        picked = sizer.find_optimal_batch_size(start=1)
+        if picked and picked != args.batch_size:
+            logging.info("--auto_batch: batch_size %d → %d (largest whose "
+                         "compiled step fits HBM)", args.batch_size, picked)
+            args.batch_size = picked
+            state, frozen, step_fn = _build(picked)
 
     settings = TrainSettings(
         num_epochs=args.num_epochs, batch_size=args.batch_size,

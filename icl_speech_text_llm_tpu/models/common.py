@@ -47,7 +47,7 @@ def layer_norm(
     return (x * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
 
 
-def gelu(x: jnp.ndarray) -> jnp.ndarray:
+def gelu(x: jnp.ndarray, exact: bool | None = None) -> jnp.ndarray:
     """GELU: exact erf in f32 (HF-bit-accurate — the fidelity tests run
     here), tanh approximation under bf16/f16 COMPUTE.
 
@@ -58,8 +58,16 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     itself carries — while the exact-erf lowering is pure VPU drag: the
     whisper-large MLP block measured 2.12 ms/layer exact vs 1.35 ms tanh
     (scripts/probe_whisper_inside.py), 24.7 ms per 6-clip encode chunk for
-    numerically invisible precision."""
-    approx = x.dtype in (jnp.bfloat16, jnp.float16)
+    numerically invisible precision.
+
+    ``exact`` overrides the dtype heuristic: ``exact=True`` forces the erf
+    form even under bf16/f16 (for fidelity comparisons against the
+    reference's exact GELU), ``exact=False`` forces the tanh approximation;
+    ``None`` (default) keeps the dtype-keyed behavior above."""
+    if exact is None:
+        approx = x.dtype in (jnp.bfloat16, jnp.float16)
+    else:
+        approx = not exact
     return jax.nn.gelu(x, approximate=bool(approx))
 
 

@@ -66,6 +66,23 @@ def compiled_memory_bytes(fn: Callable, *example_args) -> Optional[int]:
         return None
 
 
+def tile_batch(batch, batch_size: int):
+    """Tile a batch-of-1 pytree to ``batch_size`` along axis 0.
+
+    Shape probe only — values repeat; used by the CLIs' ``--auto_batch`` to
+    lower the real step/generate program at candidate batch sizes without
+    collating more data."""
+    import jax
+    import numpy as np
+
+    def _tile(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return np.repeat(np.asarray(x), batch_size, axis=0)
+        return x
+
+    return jax.tree_util.tree_map(_tile, batch)
+
+
 class BatchSizeOptimizer:
     """Find the largest batch size whose compiled program fits in HBM.
 
