@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "constant", "constant_with_warmup", "inverse_sqrt",
                             "per_epoch_warmup_restart"])
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--gradient_checkpointing_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="'full' remats whole layers; 'dots' saves weight-"
+                        "matmul outputs and recomputes only attention dots "
+                        "and elementwise ops (cheaper backward, most of the "
+                        "memory saving)")
     p.add_argument("--save_every", type=int, default=1)
     p.add_argument("--output_dir", type=str, default="checkpoints")
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
@@ -172,8 +178,12 @@ def main(argv=None):
         )
         optimizer = make_optimizer(opt)
         state, frozen = init_train_state(model.params, optimizer)
+        remat = False
+        if args.gradient_checkpointing:
+            remat = ("dots" if args.gradient_checkpointing_policy == "dots"
+                     else True)
         step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
-                                  remat=args.gradient_checkpointing,
+                                  remat=remat,
                                   pipeline=pipeline)
         return state, frozen, step_fn
 

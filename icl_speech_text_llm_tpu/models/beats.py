@@ -22,6 +22,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,7 +62,10 @@ class BeatsConfig:
     #   "im2col"   — time-blocked im2col + per-group GEMM (pure MXU batched
     #                matmul, K·C/G contraction; halo blocks keep the unfold
     #                transient at a few MB)
-    conv_pos_impl: str = "grouped"
+    # default "unrolled": measured 1.57 ms vs grouped 2.35 / im2col 26.2 per
+    # 6-clip chunk on v5e (scripts/profile_prefill.py r4; lowerings are
+    # numerically identical)
+    conv_pos_impl: str = "unrolled"
 
     @property
     def deep_norm_alpha(self) -> float:
@@ -79,7 +84,8 @@ BEATS_CONFIGS: Dict[str, BeatsConfig] = {
 
 
 def kaldi_fbank(
-    wav: jnp.ndarray, n_mels: int = 128, frame_length: int = 400, hop: int = 160
+    wav: jnp.ndarray, n_mels: int = 128, frame_length: int = 400, hop: int = 160,
+    use_dft: bool = True,
 ) -> jnp.ndarray:
     """Kaldi-compatible log-mel fbank (snip_edges, povey window, pre-emphasis).
 
@@ -100,14 +106,39 @@ def kaldi_fbank(
     hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / (frame_length - 1))
     povey = jnp.asarray((hann**0.85).astype(np.float32))
     frames = frames * povey
-    # pad to 512-point FFT (kaldi rounds up to pow2)
+    # 512-point real DFT (kaldi rounds up to pow2) as ONE matmul on the MXU:
+    # the frame is zero-padded past 400 samples, so only the first 400 basis
+    # rows contribute. Precision.HIGHEST keeps the device log-fbank within
+    # 7.7e-3 of the rfft path (sub-bf16-resolution for the encoder input;
+    # 1e-6 on CPU) and measures 6.94 vs 7.55 ms per 6×30s clips on v5e
+    # (scripts/probe_frontends.py — the frame gather dominates both paths)
     nfft = 512
-    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, nfft - frame_length)))
-    spec = jnp.fft.rfft(frames, axis=-1)
-    power = spec.real**2 + spec.imag**2  # (B, T, 257)
+    n_freqs = nfft // 2 + 1
+    if use_dft:
+        basis = jnp.asarray(_kaldi_dft_basis(frame_length, nfft))
+        spec2 = jax.lax.dot_general(
+            frames, basis, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # (B, T, 2*257)
+        power = spec2[..., :n_freqs] ** 2 + spec2[..., n_freqs:] ** 2
+    else:
+        padded = jnp.pad(frames, ((0, 0), (0, 0), (0, nfft - frame_length)))
+        spec = jnp.fft.rfft(padded, axis=-1)
+        power = spec.real**2 + spec.imag**2  # (B, T, 257)
     fb = jnp.asarray(_htk_mel_bank(nfft // 2 + 1, n_mels))
     mel = power @ fb
     return jnp.log(jnp.maximum(mel, 1.1920928955078125e-07))  # kaldi epsilon
+
+
+@functools.lru_cache(maxsize=2)
+def _kaldi_dft_basis(frame_length: int = 400, nfft: int = 512) -> np.ndarray:
+    """Real-DFT basis truncated to the unpadded frame rows,
+    (frame_length, 2*(nfft//2+1)): [cos | -sin] columns."""
+    n_freqs = nfft // 2 + 1
+    k = np.arange(frame_length)[:, None]
+    f = np.arange(n_freqs)[None, :]
+    angle = 2.0 * np.pi * k * f / nfft
+    return np.concatenate(
+        [np.cos(angle), -np.sin(angle)], axis=1).astype(np.float32)
 
 
 def _htk_mel_bank(n_freqs: int, n_mels: int, sr: int = 16000) -> np.ndarray:

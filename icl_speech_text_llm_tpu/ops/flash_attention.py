@@ -27,6 +27,8 @@ blockwise backward (`_flash_bwd_scan_rule`) is kept as the numerics oracle.
 from __future__ import annotations
 
 import functools
+import logging
+import math
 from typing import Optional
 
 import jax
@@ -524,6 +526,7 @@ def _flash_bias_kernel(
     bias_ref,  # (1, block_q, block_k) f32 shared rel-pos bias for this head
     gw_ref,  # (D, 8) f32 grep_linear weight
     gb_ref,  # (1, 8) f32 grep_linear bias
+    mrow_ref,  # (1, 1, block_k) f32 additive key mask row for this sample
     o_ref,  # (1, 1, block_q, D)
     m_scratch,
     l_scratch,
@@ -538,7 +541,14 @@ def _flash_bias_kernel(
     proj[4:]) · grep_a[h] − 1) + 2 per query row, s += scale · bias. The
     (B, H, T, T) logits/bias tensors never exist in HBM (the XLA fallback
     materializes both — measured 100 ms of the 278 ms BEATs forward at
-    salmonn-7b shapes)."""
+    salmonn-7b shapes).
+
+    VPU diet (r4): the kernel is VPU-bound, not HBM-bound (analytic ~0.88 ms
+    of elementwise work vs 0.51 ms HBM floor at the BEATs shape), so the
+    per-element chain is kept minimal — the key mask arrives as a
+    PRECOMPUTED additive (B, S) row (1 add/elem, replacing the old
+    iota+compare+where ≈ 3 ops/elem) and sm_scale folds into q host-side
+    when it is a power of two (exact in bf16)."""
     b = pl.program_id(0)
     h = pl.program_id(1)
     kv_idx = pl.program_id(3)
@@ -571,9 +581,7 @@ def _flash_bias_kernel(
         gb = jax.nn.sigmoid(jnp.sum(proj[:, 4:8], axis=1, keepdims=True))
         scale = ga * (gb * grep_a_ref[h] - 1.0) + 2.0  # (block_q, 1)
         s = s + scale * bias_ref[0].astype(jnp.float32)
-
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
-        s = s + jnp.where(col_ids < length, 0.0, MASK_VALUE)
+        s = s + mrow_ref[0]  # additive key mask, broadcast over rows
         _online_softmax_update(s, v_ref[0, 0], m_scratch, l_scratch, acc_scratch)
 
     @pl.when(kv_idx == n_kv - 1)
@@ -581,6 +589,120 @@ def _flash_bias_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _flash_bias_batch_kernel(
+    lengths_ref,  # scalar prefetch: (B,) int32 valid KV length
+    grep_a_ref,  # scalar prefetch: (H,) f32 per-head gate multiplier
+    q_ref,  # (B, 1, block_q, D)
+    k_ref,  # (B, 1, block_k, D)
+    v_ref,  # (B, 1, block_k, D)
+    xh_ref,  # (B, 1, block_q, D)
+    bias_ref,  # (1, block_q, block_k) shared rel-pos bias for this head
+    gw_ref,  # (D, 8) f32
+    gb_ref,  # (1, 8) f32
+    o_ref,  # (B, 1, block_q, D)
+    m_scratch,  # (B, block_q, MIN_LANES) f32
+    l_scratch,  # (B, block_q, MIN_LANES) f32
+    acc_scratch,  # (B, block_q, D) f32
+    *,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    batch: int,
+):
+    """Batch-blocked variant of ``_flash_bias_kernel``: one program owns ALL
+    batch elements of a (head, q-tile, kv-tile) cell, so the shared bias tile
+    is fetched from HBM once per cell instead of once per (batch, cell).
+
+    Why this matters: at the BEATs-large bench shape (6×12×1536×64) the bias
+    is (12, 1536, 1536) — per-batch streaming reads 6×57 MB = 340 MB of the
+    kernel's ~410 MB total HBM traffic, pinning it at ~39% MFU. Reading the
+    bias once cuts traffic to ~130 MB and leaves the D=64 MXU bound as the
+    limiter. (The r3 batch-innermost GRID reorder was measured WORSE — Mosaic
+    can't reuse a block across grid steps; an in-kernel loop can.)"""
+    h = pl.program_id(0)
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    kv_start = kv_idx * block_k
+    # hoisted: one bias read serves every batch element below
+    bias = bias_ref[0].astype(jnp.float32)
+    for b in range(batch):
+
+        @pl.when(kv_start < lengths_ref[b])
+        def _run(b=b):
+            q = q_ref[b, 0]
+            k = k_ref[b, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            xh_b = xh_ref[b, 0].astype(jnp.float32)
+            proj = jax.lax.dot(xh_b, gw_ref[...],
+                               preferred_element_type=jnp.float32)
+            proj = proj + gb_ref[...]
+            ga = jax.nn.sigmoid(jnp.sum(proj[:, :4], axis=1, keepdims=True))
+            gb = jax.nn.sigmoid(jnp.sum(proj[:, 4:8], axis=1, keepdims=True))
+            scale = ga * (gb * grep_a_ref[h] - 1.0) + 2.0  # (block_q, 1)
+            s = s + scale * bias
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
+            s = s + jnp.where(col_ids < lengths_ref[b], 0.0, MASK_VALUE)
+            _online_softmax_update(
+                s, v_ref[b, 0],
+                m_scratch.at[b], l_scratch.at[b], acc_scratch.at[b])
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        for b in range(batch):
+            l = l_scratch[b][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[b, 0] = (acc_scratch[b] * l_inv).astype(o_ref.dtype)
+
+
+def _gated_bias_batched_call(q, k, v, xh, bias, grep_w, grep_b, grep_a,
+                             lengths, sm_scale, bq, bk):
+    B, H, S, D = q.shape
+    grid = (H, S // bq, S // bk)
+    kernel = functools.partial(
+        _flash_bias_batch_kernel, sm_scale=sm_scale, block_q=bq, block_k=bk,
+        batch=B)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, 1, bq, D), lambda h, qi, ki, *_: (0, h, qi, 0)),
+                pl.BlockSpec((B, 1, bk, D), lambda h, qi, ki, *_: (0, h, ki, 0)),
+                pl.BlockSpec((B, 1, bk, D), lambda h, qi, ki, *_: (0, h, ki, 0)),
+                pl.BlockSpec((B, 1, bq, D), lambda h, qi, ki, *_: (0, h, qi, 0)),
+                pl.BlockSpec((1, bq, bk), lambda h, qi, ki, *_: (h, qi, ki)),
+                pl.BlockSpec((D, 8), lambda h, qi, ki, *_: (0, 0)),
+                pl.BlockSpec((1, 8), lambda h, qi, ki, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (B, 1, bq, D), lambda h, qi, ki, *_: (0, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((B, bq, MIN_LANES), jnp.float32),
+                pltpu.VMEM((B, bq, MIN_LANES), jnp.float32),
+                pltpu.VMEM((B, bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths.astype(jnp.int32), grep_a.astype(jnp.float32),
+      q, k, v, xh, bias.astype(jnp.bfloat16),
+      grep_w.astype(jnp.float32), grep_b.reshape(1, 8).astype(jnp.float32))
 
 
 def flash_attention_gated_bias(
@@ -596,6 +718,9 @@ def flash_attention_gated_bias(
     sm_scale: Optional[float] = None,
     block_q: int = 768,
     block_k: int = 1536,
+    batch_block: Optional[bool] = None,  # opt-in (measured negative at BEATs shape)
+    batch_block_q: Optional[int] = None,  # explicit batched-path tiles
+    batch_block_k: Optional[int] = None,  # (sweep override; None = auto)
 ) -> jnp.ndarray:
     """BEATs/WavLM gated-rel-pos attention, flash-style (forward only).
 
@@ -611,23 +736,89 @@ def flash_attention_gated_bias(
         sm_scale = D**-0.5
     if S % 128:
         raise ValueError(f"flash_attention_gated_bias needs S % 128 == 0, got {S}")
+
+    # batch-blocked path: one program per (h, q-tile, kv-tile) owns all B
+    # batch elements → the shared bias tile is read once per cell, not once
+    # per (b, cell). MEASURED NEGATIVE at the BEATs-large shape
+    # (scripts/sweep_gated_bias_batched.py, 6×12×1536×64): best batched tile
+    # (384,768) = 1.521 ms vs per-batch 0.973 ms — the unrolled in-kernel
+    # batch loop serializes the VPU-heavy softmax work and Mosaic loses
+    # cross-program pipelining; fat tiles OOM the scoped VMEM stack
+    # ((256,1536) measured 16.57 MB vs the 16 MB limit). The kernel is NOT
+    # bias-bandwidth-bound: per-program traffic is ~3 MB vs 6.75 µs measured
+    # (~54% of the HBM roofline) with the (tq,tk) exp/mask/softmax VPU chain
+    # as the co-limiter. Kept as an explicit opt-in for future shapes where
+    # B is large and tiles are small; do NOT auto-enable.
+    isz = q.dtype.itemsize
+
+    def _batch_tile_bytes(tq, tk):
+        io = B * 2 * (tq + tk) * D * isz + tq * tk * 2  # q,xh,k,v + bf16 bias
+        out = B * tq * D * isz
+        scratch = B * tq * (2 * MIN_LANES + D) * 4
+        score = tq * tk * 4 + tq * tk * 2  # f32 s + bf16 p per batch step
+        return 2 * (io + out) + scratch + score
+
+    if batch_block:
+        if batch_block_q is not None and batch_block_k is not None:
+            cand = (batch_block_q, batch_block_k)  # sweep override
+        else:
+            # KV traffic scales with S/tq (k/v re-streamed per q-tile) while
+            # the bias is read exactly once at any tile size, so prefer the
+            # fattest q tile; tk only has to keep the per-iteration (tq, tk)
+            # stack intermediates inside the Mosaic scoped limit
+            cand = None
+            divs = [d for d in range(S, 0, -128) if S % d == 0]
+            for tq in divs:
+                for tk in divs:
+                    if _batch_tile_bytes(tq, tk) <= 14_500_000:
+                        cand = (tq, tk)
+                        break
+                if cand:
+                    break
+        if cand is None:
+            raise ValueError(
+                f"gated-bias batch_block requested but no tile fits VMEM "
+                f"(B={B}, S={S}, D={D}, itemsize={isz})")
+        return _gated_bias_batched_call(
+            q, k, v, xh, bias, grep_w, grep_b, grep_a, lengths,
+            sm_scale, *cand)
+
     bq = next(b for b in range(min(block_q, S), 0, -128) if S % b == 0)
     bk = next(b for b in range(min(block_k, S), 0, -128) if S % b == 0)
 
     # estimated per-program VMEM (double-buffered operands + f32 scratch);
     # the Mosaic scoped limit is 16 MB and the compiler adds its own stack,
     # so shrink the larger tile dim while a conservative budget is exceeded
-    isz = q.dtype.itemsize
     def _tile_bytes(tq, tk):
         io = (3 * tq * D + 2 * tk * D) * isz + tq * tk * 2 + tq * D * isz
         scratch = tq * (2 * MIN_LANES + D) * 4
-        return 2 * io + scratch
+        # the kernel's (tq, tk) f32 score intermediate (QK^T + bias, then
+        # exp) lives in VMEM too — without it the estimate trailed the
+        # measured footprint by ~28% (est 12.2 MB vs 16.93 MB measured for
+        # f32/D=128 at (768, 1536) on v5e)
+        score = tq * tk * 4
+        return 2 * io + scratch + score
 
-    while _tile_bytes(bq, bk) > 11_000_000 and (bq > 128 or bk > 128):
+    # calibrated against the measured Mosaic footprint: f32/D=128 at
+    # (768, 1536) estimates 16.9 MB here vs 16.93 MB measured; threshold
+    # leaves ~1.5 MB under the 16 MB scoped limit for compiler stack while
+    # keeping the production bf16/D=64 fat tiles (est 12.0 MB) intact
+    while _tile_bytes(bq, bk) > 14_500_000 and (bq > 128 or bk > 128):
         if bk >= bq and bk > 128:
             bk = next(b for b in range(bk - 128, 0, -128) if S % b == 0)
         else:
             bq = next(b for b in range(bq - 128, 0, -128) if S % b == 0)
+    # fold a power-of-two sm_scale into q host-side: a pure exponent shift,
+    # exact in bf16, and it removes one (bq, bk) multiply per program from
+    # the VPU-bound kernel (D=64 → 0.125 — the BEATs/WavLM case)
+    if sm_scale > 0.0 and sm_scale != 1.0 and math.log2(sm_scale).is_integer():
+        q = q * jnp.asarray(sm_scale, q.dtype)
+        sm_scale = 1.0
+    # precomputed additive key mask (B, 1, S): one broadcast add per element
+    # in the kernel instead of iota+compare+where
+    mask_rows = jnp.where(
+        jnp.arange(S, dtype=jnp.int32)[None, :] < lengths[:, None].astype(jnp.int32),
+        0.0, MASK_VALUE).astype(jnp.float32)[:, None, :]
     grid = (B, H, S // bq, S // bk)
     kernel = functools.partial(
         _flash_bias_kernel, sm_scale=sm_scale, block_q=bq, block_k=bk)
@@ -644,6 +835,9 @@ def flash_attention_gated_bias(
                 pl.BlockSpec((1, bq, bk), lambda b, h, qi, ki, *_: (h, qi, ki)),
                 pl.BlockSpec((D, 8), lambda b, h, qi, ki, *_: (0, 0)),
                 pl.BlockSpec((1, 8), lambda b, h, qi, ki, *_: (0, 0)),
+                # middle singleton keeps Mosaic's block rule happy: the
+                # block's dim -2 (1) equals the array's, dim -1 is 128-mult
+                pl.BlockSpec((1, 1, bk), lambda b, h, qi, ki, *_: (b, 0, ki)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, bq, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
@@ -659,7 +853,8 @@ def flash_attention_gated_bias(
         ),
     )(lengths.astype(jnp.int32), grep_a.astype(jnp.float32),
       q, k, v, xh, bias.astype(jnp.bfloat16),  # halves the dominant HBM read
-      grep_w.astype(jnp.float32), grep_b.reshape(1, 8).astype(jnp.float32))
+      grep_w.astype(jnp.float32), grep_b.reshape(1, 8).astype(jnp.float32),
+      mask_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -867,6 +1062,16 @@ def _flash_decode(q, k, v, scales, lengths, sm_scale, block_k,
     cands = [h for h in range(Hkv, 0, -1) if Hkv % h == 0 and _hb_ok(h)]
     hb = next((h for h in cands if h * per_head <= _DECODE_TILE_BUDGET),
               cands[-1])
+    if hb * per_head > _DECODE_TILE_BUDGET:
+        # quant path with no multiple-of-8 divisor of Hkv small enough:
+        # _hb_ok excludes the guaranteed-minimum hb=1, so the fallback can
+        # exceed the tile budget — surface it so an unlowered/OOM config is
+        # diagnosable instead of failing silently deep in Mosaic
+        logging.warning(
+            "flash decode: head block hb=%d (Hkv=%d, bk=%d) needs %d bytes "
+            "of k+v tile, over the %d budget — int8-KV scale layout forced "
+            "the oversize block; expect VMEM pressure or lowering failure",
+            hb, Hkv, bk, hb * per_head, _DECODE_TILE_BUDGET)
     # (B, H, 1, D) → (B, Hkv, r, D): row j of group kvh is query head kvh·r+j
     qg = q.reshape(B, Hkv, n_rep, D)
     q8 = jnp.pad(qg, ((0, 0), (0, 0), (0, 8 - n_rep), (0, 0)))

@@ -42,14 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_BYTES_BUDGET = 2_900_000
 
 
-def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool):
+def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool,
+                 zero_fold: bool):
     """One (n, k) grid step: ``sub`` quant groups of packed rows → 2·sub dots.
 
     Blocks (all static): x_lo/x_hi (M, bk) — this step's input rows for the
     low/high nibbles; w (bk, bn) packed uint8 ((1, bk, bn) when ``stacked`` —
     the layer picked by the scalar-prefetched block index, whose ref leads
     the argument list); s_lo/s_hi (sub, bn) scales.
-    """
+
+    ``zero_fold``: the packed nibbles store v+8; the straightforward unpack
+    spends 7 VPU ops/byte (u8→i32, and, sub, cast / shift, sub, cast) — more
+    VPU time than the tile's HBM stream time, making the kernel unpack-bound
+    (~640 GB/s of the 810 roofline, r3). Folding the −8 zero point out of
+    the per-element path drops it to 5 ops/byte: dot with the UNSIGNED
+    nibbles, then correct with the rank-1 term 8·Σ_rows(x)·s (per group;
+    O(M·bn) — negligible at decode M). Exact same math in f32:
+    Σ x(w−8)·s = (Σ x·w)·s − 8·(Σ x)·s."""
     if stacked:  # leading scalar-prefetch ref (the layer index)
         _, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc = refs
     else:
@@ -65,10 +74,22 @@ def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool):
     for j in range(sub):  # static unroll over the tile's quant groups
         rows = slice(j * group, (j + 1) * group)
         w32 = w_blk[rows, :].astype(jnp.int32)
-        lo = ((w32 & 0xF) - 8).astype(x_lo_ref.dtype)
-        hi = ((w32 >> 4) - 8).astype(x_hi_ref.dtype)
-        acc[...] += dot(x_lo_ref[:, rows], lo) * s_lo_ref[0, j:j + 1, :]
-        acc[...] += dot(x_hi_ref[:, rows], hi) * s_hi_ref[0, j:j + 1, :]
+        s_lo = s_lo_ref[0, j:j + 1, :]
+        s_hi = s_hi_ref[0, j:j + 1, :]
+        if zero_fold:
+            lo = (w32 & 0xF).astype(x_lo_ref.dtype)
+            hi = (w32 >> 4).astype(x_hi_ref.dtype)
+            rs_lo = jnp.sum(x_lo_ref[:, rows].astype(jnp.float32), axis=1,
+                            keepdims=True)  # (M, 1)
+            rs_hi = jnp.sum(x_hi_ref[:, rows].astype(jnp.float32), axis=1,
+                            keepdims=True)
+            acc[...] += (dot(x_lo_ref[:, rows], lo) - 8.0 * rs_lo) * s_lo
+            acc[...] += (dot(x_hi_ref[:, rows], hi) - 8.0 * rs_hi) * s_hi
+        else:
+            lo = ((w32 & 0xF) - 8).astype(x_lo_ref.dtype)
+            hi = ((w32 >> 4) - 8).astype(x_hi_ref.dtype)
+            acc[...] += dot(x_lo_ref[:, rows], lo) * s_lo
+            acc[...] += dot(x_hi_ref[:, rows], hi) * s_hi
 
     @pl.when(k == n_k - 1)
     def _store():
@@ -78,7 +99,8 @@ def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool):
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 block_n: Optional[int] = None,
                 block_k: int = 512,
-                layer: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                layer: Optional[jnp.ndarray] = None,
+                zero_fold: bool = True) -> jnp.ndarray:
     """x (M, K) @ int4-packed weight → (M, N).
 
     ``packed`` (K/2, N) uint8 split-half nibbles, ``scales`` (K/group, N) f32
@@ -124,7 +146,7 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     n_k = half // bk
     grid = (N // bn, n_k)
     kernel = functools.partial(_int4_kernel, n_k=n_k, group=group, sub=sub,
-                               stacked=stacked)
+                               stacked=stacked, zero_fold=zero_fold)
     x_lo, x_hi = x[:, : K // 2], x[:, K // 2:]
     # scales regrouped per K tile: (n_k, sub, N) so the block's last two dims
     # match the array exactly (Mosaic's sublane rule forbids a bare (sub, bn)

@@ -125,15 +125,32 @@ def pad_or_trim(wav: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
     return jnp.pad(wav, pad)
 
 
-def _log_mel_single(wav: jnp.ndarray, mel_fb: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """(N_SAMPLES,) f32 → (n_mels, N_FRAMES) Whisper log-mel features."""
+def _log_mel_single(wav: jnp.ndarray, mel_fb: jnp.ndarray, window: jnp.ndarray,
+                    use_dft: bool = True) -> jnp.ndarray:
+    """(N_SAMPLES,) f32 → (n_mels, N_FRAMES) Whisper log-mel features.
+
+    ``use_dft``: the STFT as ONE windowed-DFT matmul on the MXU at
+    ``Precision.HIGHEST``. The original design note rejected the DFT-matmul
+    for ~9e-2 low-power-bin error — that error came from TPU's DEFAULT
+    matmul precision (bf16 operands); at HIGHEST (f32 multi-pass) the
+    DFT-matmul matches the rfft path to 7.9e-4 in the log-mel output on
+    device (scripts/probe_frontends.py — well under the bf16 resolution the
+    encoder consumes it at) and 2e-7 on CPU. Measured device win is modest:
+    6.67 vs 7.29 ms per 6×30s clips (the frontend is dominated by the
+    overlapping-frame gather, not the transform — see `_frame_indices`)."""
     # Whisper drops the final STFT frame, so only N_FRAMES windows are needed;
     # center=True reflect padding of n_fft//2 on each side.
     padded = jnp.pad(wav, (N_FFT // 2, N_FFT // 2), mode="reflect")
     frames = padded[_frame_indices()]  # (N_FRAMES, N_FFT)
 
-    spec = jnp.fft.rfft(frames * window[None, :], axis=-1)  # (N_FRAMES, N_FREQS)
-    power = spec.real**2 + spec.imag**2
+    if use_dft:
+        basis = jnp.asarray(_dft_basis())  # window folded into the basis
+        spec2 = jax.lax.dot(frames, basis,
+                            precision=jax.lax.Precision.HIGHEST)
+        power = spec2[:, :N_FREQS] ** 2 + spec2[:, N_FREQS:] ** 2
+    else:
+        spec = jnp.fft.rfft(frames * window[None, :], axis=-1)
+        power = spec.real**2 + spec.imag**2
 
     mel = power @ mel_fb  # (N_FRAMES, N_MELS)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))

@@ -25,6 +25,7 @@ from icl_speech_text_llm_tpu.ops.quant import quantize_tensor_int4
 from icl_speech_text_llm_tpu.ops.int4_matmul import int4_matmul
 
 M = int(os.environ.get("M", "4"))
+ZF = bool(int(os.environ.get("ZF", "1")))  # zero_fold A/B
 ITERS = int(os.environ.get("ITERS", "250"))
 
 # 13B decoder shapes (hidden 5120, mlp 13824, vocab 32000)
@@ -36,7 +37,7 @@ SHAPES = [
 ]
 
 
-def bench(name, K, N):
+def bench(name, K, N, zf=None):
     key = jax.random.PRNGKey(0)
     w = jax.random.normal(key, (K, N), jnp.float32) * 0.02
     qw = quantize_tensor_int4(w)
@@ -46,7 +47,7 @@ def bench(name, K, N):
 
     def many(x):
         def body(xx, _):
-            o = int4_matmul(xx, packed, scales)
+            o = int4_matmul(xx, packed, scales, zero_fold=ZF)
             return (xx + o[:, :K].astype(jnp.bfloat16) * 1e-30
                     if N >= K else
                     xx.at[:, :N].add(o.astype(jnp.bfloat16) * 1e-30)), None
@@ -59,7 +60,8 @@ def bench(name, K, N):
     def make(iters):
         def many_n(x):
             def body(xx, _):
-                o = int4_matmul(xx, packed, scales)
+                o = int4_matmul(xx, packed, scales,
+                                zero_fold=ZF if zf is None else zf)
                 return (xx + o[:, :K].astype(jnp.bfloat16) * 1e-30
                         if N >= K else
                         xx.at[:, :N].add(o.astype(jnp.bfloat16) * 1e-30)), None
@@ -79,15 +81,21 @@ def bench(name, K, N):
             best = min(best, time.perf_counter() - t0)
         t[iters] = best
     dt = max((t[2 * ITERS] - t[ITERS]) / ITERS, 1e-9)
-    print(f"{name:24s} {dt*1e3:8.3f} ms  {nbytes/dt/1e9:7.1f} GB/s "
-          f"({nbytes/1e6:.1f} MB packed+scales)")
+    tag = "" if zf is None else f" zf={int(zf)}"
+    print(f"{name:24s}{tag} {dt*1e3:8.3f} ms  {nbytes/dt/1e9:7.1f} GB/s "
+          f"({nbytes/1e6:.1f} MB packed+scales)", flush=True)
     return dt, nbytes
 
 
 def main():
-    print(f"device: {jax.devices()[0]}, M={M}, iters={ITERS}")
+    print(f"device: {jax.devices()[0]}, M={M}, iters={ITERS}, zero_fold={ZF}")
     tot_t, tot_b = 0.0, 0
+    ab = bool(int(os.environ.get("AB", "0")))
     for name, K, N in SHAPES:
+        if ab:
+            for zf in (False, True, False, True):
+                bench(name, K, N, zf=zf)
+            continue
         dt, nb = bench(name, K, N)
         tot_t += dt
         tot_b += nb
