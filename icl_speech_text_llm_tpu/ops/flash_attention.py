@@ -38,22 +38,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 MIN_LANES = 128
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = math.log2(math.e)  # exp→exp2 domain fold (gated-bias kernels)
 
 
 
-def _online_softmax_update(s, v, m_scratch, l_scratch, acc_scratch):
+def _online_softmax_update(s, v, m_scratch, l_scratch, acc_scratch,
+                           exp2_domain: bool = False):
     """One KV tile of the online softmax shared by the forward kernels:
     fold scores ``s`` (block_q, block_k) and values ``v`` into the running
-    (m, l, acc) VMEM scratch (lanes of m/l replicated)."""
+    (m, l, acc) VMEM scratch (lanes of m/l replicated).
+
+    ``exp2_domain``: scores arrive PRE-MULTIPLIED by log2(e) (folded into q
+    / the bias host-side), so the transcendental becomes ``exp2`` — no
+    per-element ·log2e multiply — and it runs in ``v.dtype`` (bf16 packs two
+    lanes on the VPU; the (s−m) argument is ≤0 and largest-magnitude terms
+    round to exp2≈0, so bf16 rounding only perturbs near-max entries by
+    ≤2⁻⁸ relative). m/l residuals then live in the log2 domain — only the
+    forward-only gated-bias kernels use this; the differentiable kernel
+    keeps e-domain residuals for its backward."""
     m_prev = m_scratch[...]
     l_prev = l_scratch[...]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
     m_next = jnp.maximum(m_prev, m_curr)  # broadcast over lanes
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])
+    if exp2_domain:
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2((s - m_next[:, :1]).astype(v.dtype))
+        l_add = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    else:
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_add = jnp.sum(p, axis=1, keepdims=True)
+        p = p.astype(v.dtype)
     m_scratch[...] = m_next
-    l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    l_scratch[...] = alpha * l_prev + l_add
+    pv = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
     # lanes of alpha are replicated; broadcast one lane over D
     acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
 
@@ -169,16 +187,121 @@ def _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k):
     )(lengths, q, k, v)
 
 
+def _flash_inf_kernel(
+    lengths_ref,  # scalar prefetch: (B,) int32 — tile-skip only
+    q_ref,  # (1, 1, block_q, D) — PRE-scaled by sm_scale·log2e
+    k_ref,  # (1, 1, block_k, D)
+    v_ref,  # (1, 1, block_k, D)
+    mrow_ref,  # (1, 1, block_k) f32 additive key mask row
+    o_ref,
+    m_out_ref,  # (1, 1, 8, block_q) f32 — log2-domain running max
+    l_out_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    block_k: int,
+):
+    """Lean NON-CAUSAL forward: the plain kernel's per-element chain is
+    ~10 VPU f32 ops (2 iotas, compare, where, sm_scale mul, max, sub, exp,
+    sum, cast) and measured VPU-bound at the whisper-large shape — 1.26 ms
+    vs the 0.44 ms D=64 MXU floor (scripts/probe_hd64_mxu.py). This variant
+    drops to ~4: precomputed additive mask row (1 add), max, sub, and a
+    v.dtype exp2 (log2e folded into q host-side; bf16 packs 2 lanes)."""
+    b = pl.program_id(0)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    @pl.when(kv_idx * block_k < lengths_ref[b])
+    def _run():
+        s = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + mrow_ref[0]
+        _online_softmax_update(s, v_ref[0, 0], m_scratch, l_scratch,
+                               acc_scratch, exp2_domain=True)
+
+    @pl.when(kv_idx == pl.num_programs(3) - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        m_out_ref[0, 0] = jnp.broadcast_to(m_scratch[...][:, 0][None, :], m_out_ref.shape[2:])
+        l_out_ref[0, 0] = jnp.broadcast_to(l_scratch[...][:, 0][None, :], l_out_ref.shape[2:])
+
+
+def _flash_forward_noncausal(q, k, v, lengths, sm_scale, block_q, block_k):
+    """exp2-domain lean forward → (o, m (e-domain, backward-compatible), l).
+
+    The log2e fold lives entirely inside: q is pre-scaled host-side, the
+    kernel's m comes back in the log2 domain and is converted (m·ln2) so
+    callers — including the standard flash backward — see exactly the
+    (o, m, l) the plain kernel would have produced (l is domain-invariant:
+    Σ2^(s′−m′) = Σe^(s−m))."""
+    B, H, S, D = q.shape
+    S_kv = k.shape[2]
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    mask_rows = jnp.where(
+        jnp.arange(S_kv, dtype=jnp.int32)[None, :]
+        < lengths[:, None].astype(jnp.int32),
+        0.0, MASK_VALUE).astype(jnp.float32)[:, None, :]
+    grid = (B, H, S // block_q, S_kv // block_k)
+    o, m, l = pl.pallas_call(
+        functools.partial(_flash_inf_kernel, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b, h, qi, ki, *_: (b, 0, ki)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, h, qi, ki, *_: (b, h, 0, qi)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda b, h, qi, ki, *_: (b, h, 0, qi)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, H, 8, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 8, S), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(lengths.astype(jnp.int32), q, k, v, mask_rows)
+    return o, m * math.log(2.0), l
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash_attention_diff(q, k, v, lengths, causal, sm_scale, block_q, block_k,
                           bwd_block_q, bwd_block_k):
+    if not causal:
+        o, _, _ = _flash_forward_noncausal(q, k, v, lengths, sm_scale,
+                                           block_q, block_k)
+        return o
     o, _, _ = _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k)
     return o
 
 
 def _flash_fwd_rule(q, k, v, lengths, causal, sm_scale, block_q, block_k,
                     bwd_block_q, bwd_block_k):
-    o, m, l = _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k)
+    fwd = (_flash_forward_noncausal(q, k, v, lengths, sm_scale, block_q, block_k)
+           if not causal else
+           _flash_forward(q, k, v, lengths, causal, sm_scale, block_q, block_k))
+    o, m, l = fwd
     return o, (q, k, v, lengths, o, m[:, :, 0], l[:, :, 0])
 
 
@@ -579,10 +702,14 @@ def _flash_bias_kernel(
         proj = proj + gb_ref[...]
         ga = jax.nn.sigmoid(jnp.sum(proj[:, :4], axis=1, keepdims=True))
         gb = jax.nn.sigmoid(jnp.sum(proj[:, 4:8], axis=1, keepdims=True))
-        scale = ga * (gb * grep_a_ref[h] - 1.0) + 2.0  # (block_q, 1)
+        # log2e folded into the SCALE constants (grep_a arrives pre-scaled),
+        # so scale·bias lands in the exp2 domain while the bf16 bias table
+        # keeps its plain quantization (bit-matching the XLA fallback's)
+        scale = ga * (gb * grep_a_ref[h] - LOG2E) + 2.0 * LOG2E  # (block_q, 1)
         s = s + scale * bias_ref[0].astype(jnp.float32)
         s = s + mrow_ref[0]  # additive key mask, broadcast over rows
-        _online_softmax_update(s, v_ref[0, 0], m_scratch, l_scratch, acc_scratch)
+        _online_softmax_update(s, v_ref[0, 0], m_scratch, l_scratch,
+                               acc_scratch, exp2_domain=True)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -651,13 +778,15 @@ def _flash_bias_batch_kernel(
             proj = proj + gb_ref[...]
             ga = jax.nn.sigmoid(jnp.sum(proj[:, :4], axis=1, keepdims=True))
             gb = jax.nn.sigmoid(jnp.sum(proj[:, 4:8], axis=1, keepdims=True))
-            scale = ga * (gb * grep_a_ref[h] - 1.0) + 2.0  # (block_q, 1)
+            # grep_a pre-scaled by log2e; see _flash_bias_kernel
+            scale = ga * (gb * grep_a_ref[h] - LOG2E) + 2.0 * LOG2E
             s = s + scale * bias
             col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_start
             s = s + jnp.where(col_ids < lengths_ref[b], 0.0, MASK_VALUE)
             _online_softmax_update(
                 s, v_ref[b, 0],
-                m_scratch.at[b], l_scratch.at[b], acc_scratch.at[b])
+                m_scratch.at[b], l_scratch.at[b], acc_scratch.at[b],
+                exp2_domain=True)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -737,6 +866,19 @@ def flash_attention_gated_bias(
     if S % 128:
         raise ValueError(f"flash_attention_gated_bias needs S % 128 == 0, got {S}")
 
+    # exp2 domain (r4): scores reach the softmax PRE-multiplied by log2(e) —
+    # sm_scale·log2e folds into q host-side and log2e into the gate-scale
+    # constants (grep_a pre-scaled; the bias table keeps its plain bf16
+    # quantization so the XLA-fallback parity bound is unchanged), so the
+    # VPU-bound kernel's transcendental becomes exp2 (no per-element
+    # ·sm_scale or ·log2e multiplies) and runs in v.dtype (bf16 = 2 lanes
+    # per VPU slot). The mask rows need no scaling: 0 and −1e30 work in
+    # either domain. Forward-only kernels, so log2-domain m/l are fine.
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    sm_scale = 1.0
+    grep_a = grep_a.astype(jnp.float32) * LOG2E
+    bias = bias.astype(jnp.bfloat16)
+
     # batch-blocked path: one program per (h, q-tile, kv-tile) owns all B
     # batch elements → the shared bias tile is read once per cell, not once
     # per (b, cell). MEASURED NEGATIVE at the BEATs-large shape
@@ -808,12 +950,6 @@ def flash_attention_gated_bias(
             bk = next(b for b in range(bk - 128, 0, -128) if S % b == 0)
         else:
             bq = next(b for b in range(bq - 128, 0, -128) if S % b == 0)
-    # fold a power-of-two sm_scale into q host-side: a pure exponent shift,
-    # exact in bf16, and it removes one (bq, bk) multiply per program from
-    # the VPU-bound kernel (D=64 → 0.125 — the BEATs/WavLM case)
-    if sm_scale > 0.0 and sm_scale != 1.0 and math.log2(sm_scale).is_integer():
-        q = q * jnp.asarray(sm_scale, q.dtype)
-        sm_scale = 1.0
     # precomputed additive key mask (B, 1, S): one broadcast add per element
     # in the kernel instead of iota+compare+where
     mask_rows = jnp.where(
@@ -852,7 +988,7 @@ def flash_attention_gated_bias(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(lengths.astype(jnp.int32), grep_a.astype(jnp.float32),
-      q, k, v, xh, bias.astype(jnp.bfloat16),  # halves the dominant HBM read
+      q, k, v, xh, bias,  # bf16 (halves the dominant HBM read), ·log2e folded
       grep_w.astype(jnp.float32), grep_b.reshape(1, 8).astype(jnp.float32),
       mask_rows)
 

@@ -43,7 +43,7 @@ _TILE_BYTES_BUDGET = 2_900_000
 
 
 def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool,
-                 zero_fold: bool):
+                 zero_fold: bool, unpack_u8: bool):
     """One (n, k) grid step: ``sub`` quant groups of packed rows → 2·sub dots.
 
     Blocks (all static): x_lo/x_hi (M, bk) — this step's input rows for the
@@ -58,7 +58,12 @@ def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool,
     the per-element path drops it to 5 ops/byte: dot with the UNSIGNED
     nibbles, then correct with the rank-1 term 8·Σ_rows(x)·s (per group;
     O(M·bn) — negligible at decode M). Exact same math in f32:
-    Σ x(w−8)·s = (Σ x·w)·s − 8·(Σ x)·s."""
+    Σ x(w−8)·s = (Σ x·w)·s − 8·(Σ x)·s.
+
+    ``unpack_u8``: additionally skip the up-front uint8→int32 widening and
+    mask/shift the uint8 vectors directly (4 ops/byte) — whether this wins
+    depends on how Mosaic lowers sub-word bitwise ops (A/B via
+    scripts/probe_int4_bw.py U8=1)."""
     if stacked:  # leading scalar-prefetch ref (the layer index)
         _, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc = refs
     else:
@@ -73,12 +78,13 @@ def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool,
     w_blk = w_ref[0] if stacked else w_ref
     for j in range(sub):  # static unroll over the tile's quant groups
         rows = slice(j * group, (j + 1) * group)
-        w32 = w_blk[rows, :].astype(jnp.int32)
+        wq = w_blk[rows, :]
+        w32 = wq if (zero_fold and unpack_u8) else wq.astype(jnp.int32)
         s_lo = s_lo_ref[0, j:j + 1, :]
         s_hi = s_hi_ref[0, j:j + 1, :]
         if zero_fold:
-            lo = (w32 & 0xF).astype(x_lo_ref.dtype)
-            hi = (w32 >> 4).astype(x_hi_ref.dtype)
+            lo = (w32 & jnp.asarray(0xF, w32.dtype)).astype(x_lo_ref.dtype)
+            hi = (w32 >> jnp.asarray(4, w32.dtype)).astype(x_hi_ref.dtype)
             rs_lo = jnp.sum(x_lo_ref[:, rows].astype(jnp.float32), axis=1,
                             keepdims=True)  # (M, 1)
             rs_hi = jnp.sum(x_hi_ref[:, rows].astype(jnp.float32), axis=1,
@@ -100,7 +106,8 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 block_n: Optional[int] = None,
                 block_k: int = 512,
                 layer: Optional[jnp.ndarray] = None,
-                zero_fold: bool = True) -> jnp.ndarray:
+                zero_fold: bool = True,
+                unpack_u8: bool = False) -> jnp.ndarray:
     """x (M, K) @ int4-packed weight → (M, N).
 
     ``packed`` (K/2, N) uint8 split-half nibbles, ``scales`` (K/group, N) f32
@@ -146,7 +153,8 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     n_k = half // bk
     grid = (N // bn, n_k)
     kernel = functools.partial(_int4_kernel, n_k=n_k, group=group, sub=sub,
-                               stacked=stacked, zero_fold=zero_fold)
+                               stacked=stacked, zero_fold=zero_fold,
+                               unpack_u8=unpack_u8)
     x_lo, x_hi = x[:, : K // 2], x[:, K // 2:]
     # scales regrouped per K tile: (n_k, sub, N) so the block's last two dims
     # match the array exactly (Mosaic's sublane rule forbids a bare (sub, bn)

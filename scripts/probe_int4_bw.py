@@ -26,6 +26,7 @@ from icl_speech_text_llm_tpu.ops.int4_matmul import int4_matmul
 
 M = int(os.environ.get("M", "4"))
 ZF = bool(int(os.environ.get("ZF", "1")))  # zero_fold A/B
+U8 = bool(int(os.environ.get("U8", "0")))  # uint8-native unpack A/B
 ITERS = int(os.environ.get("ITERS", "250"))
 
 # 13B decoder shapes (hidden 5120, mlp 13824, vocab 32000)
@@ -47,7 +48,7 @@ def bench(name, K, N, zf=None):
 
     def many(x):
         def body(xx, _):
-            o = int4_matmul(xx, packed, scales, zero_fold=ZF)
+            o = int4_matmul(xx, packed, scales, zero_fold=ZF, unpack_u8=U8)
             return (xx + o[:, :K].astype(jnp.bfloat16) * 1e-30
                     if N >= K else
                     xx.at[:, :N].add(o.astype(jnp.bfloat16) * 1e-30)), None
@@ -61,7 +62,8 @@ def bench(name, K, N, zf=None):
         def many_n(x):
             def body(xx, _):
                 o = int4_matmul(xx, packed, scales,
-                                zero_fold=ZF if zf is None else zf)
+                                zero_fold=ZF if zf is None else zf,
+                                unpack_u8=U8)
                 return (xx + o[:, :K].astype(jnp.bfloat16) * 1e-30
                         if N >= K else
                         xx.at[:, :N].add(o.astype(jnp.bfloat16) * 1e-30)), None
