@@ -95,32 +95,53 @@ def kaldi_fbank(
     """
     B, n = wav.shape
     n_frames = (n - frame_length) // hop + 1
-    idx = (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]).astype(np.int32)
-    frames = wav[:, idx]  # (B, T, 400)
-    # kaldi: remove DC offset, pre-emphasis 0.97 (with edge duplication)
-    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
-    frames = frames - 0.97 * prev
-    # povey window = hann^0.85 (periodic=False in kaldi: denominator N-1)
-    t = np.arange(frame_length)
-    hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / (frame_length - 1))
-    povey = jnp.asarray((hann**0.85).astype(np.float32))
-    frames = frames * povey
-    # 512-point real DFT (kaldi rounds up to pow2) as ONE matmul on the MXU:
-    # the frame is zero-padded past 400 samples, so only the first 400 basis
-    # rows contribute. Precision.HIGHEST keeps the device log-fbank within
-    # 7.7e-3 of the rfft path (sub-bf16-resolution for the encoder input;
-    # 1e-6 on CPU) and measures 6.94 vs 7.55 ms per 6×30s clips on v5e
-    # (scripts/probe_frontends.py — the frame gather dominates both paths)
     nfft = 512
     n_freqs = nfft // 2 + 1
     if use_dft:
-        basis = jnp.asarray(_kaldi_dft_basis(frame_length, nfft))
+        # The whole per-frame chain — DC-offset removal, pre-emphasis 0.97
+        # (edge-duplicated), povey window, 512-pt real DFT — is LINEAR in
+        # the raw frame, so it folds into ONE (400, 514) matrix in float64
+        # at cache time (`_kaldi_fused_basis`). Framing then needs no
+        # gather (r4): with hop 160 / frame 400, frame i is rows i, i+1 and
+        # the first half of row i+2 of the signal viewed as (·, 160) —
+        # three contiguous-slice matmuls against 160-row chunks of the
+        # fused matrix, summed. Identical math; the old gather materialized
+        # a (B, T, 400) tensor and dominated the frontend (~50× the
+        # transform's FLOP cost). Precision.HIGHEST keeps the device
+        # log-fbank within 7.7e-3 of the rfft path (sub-bf16-resolution
+        # for the encoder input; ~1e-6 on CPU).
+        M = jnp.asarray(_kaldi_fused_basis(frame_length, nfft))
+        hp = jax.lax.Precision.HIGHEST
+        n_full = frame_length // hop
+        rem = frame_length - n_full * hop
+        n_rows = n_frames + n_full + 1
+        sig = jnp.pad(wav, ((0, 0), (0, n_rows * hop - n)))
+        rows = sig.reshape(B, n_rows, hop)
+        dn = (((2,), (0,)), ((), ()))
         spec2 = jax.lax.dot_general(
-            frames, basis, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)  # (B, T, 2*257)
+            rows[:, 0:n_frames], M[:hop], dn, precision=hp)
+        for j in range(1, n_full):
+            spec2 = spec2 + jax.lax.dot_general(
+                rows[:, j:n_frames + j], M[j * hop:(j + 1) * hop], dn,
+                precision=hp)
+        if rem:
+            spec2 = spec2 + jax.lax.dot_general(
+                rows[:, n_full:n_frames + n_full, :rem], M[n_full * hop:],
+                dn, precision=hp)
         power = spec2[..., :n_freqs] ** 2 + spec2[..., n_freqs:] ** 2
     else:
+        idx = (np.arange(n_frames)[:, None] * hop
+               + np.arange(frame_length)[None, :]).astype(np.int32)
+        frames = wav[:, idx]  # (B, T, 400)
+        # kaldi: remove DC offset, pre-emphasis 0.97 (with edge duplication)
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - 0.97 * prev
+        # povey window = hann^0.85 (periodic=False in kaldi: denominator N-1)
+        t = np.arange(frame_length)
+        hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / (frame_length - 1))
+        povey = jnp.asarray((hann**0.85).astype(np.float32))
+        frames = frames * povey
         padded = jnp.pad(frames, ((0, 0), (0, 0), (0, nfft - frame_length)))
         spec = jnp.fft.rfft(padded, axis=-1)
         power = spec.real**2 + spec.imag**2  # (B, T, 257)
@@ -139,6 +160,30 @@ def _kaldi_dft_basis(frame_length: int = 400, nfft: int = 512) -> np.ndarray:
     angle = 2.0 * np.pi * k * f / nfft
     return np.concatenate(
         [np.cos(angle), -np.sin(angle)], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=2)
+def _kaldi_fused_basis(frame_length: int = 400, nfft: int = 512) -> np.ndarray:
+    """The ENTIRE kaldi per-frame chain as one (frame_length, 2·n_freqs)
+    matrix, composed in float64: spec2 = frame_raw @ M with
+    M = (I − J/N) · P · diag(povey) · dft_basis, where J/N is the DC-offset
+    (mean) removal, P the pre-emphasis 0.97 with kaldi's edge duplication
+    (P[0,0] = 0.03), povey = hann(N−1)^0.85."""
+    n_freqs = nfft // 2 + 1
+    k = np.arange(frame_length, dtype=np.float64)[:, None]
+    f = np.arange(n_freqs, dtype=np.float64)[None, :]
+    angle = 2.0 * np.pi * k * f / nfft
+    basis = np.concatenate([np.cos(angle), -np.sin(angle)], axis=1)
+    t = np.arange(frame_length, dtype=np.float64)
+    povey = (0.5 - 0.5 * np.cos(2 * np.pi * t / (frame_length - 1))) ** 0.85
+    # pre-emphasis as a right-multiplication: out[t] = in[t] − 0.97·in[t−1],
+    # out[0] = 0.03·in[0] → A[t,t]=1, A[t−1,t]=−0.97, A[0,0]=0.03
+    A = np.eye(frame_length)
+    A[np.arange(frame_length - 1), np.arange(1, frame_length)] = -0.97
+    A[0, 0] = 0.03
+    M = A @ (povey[:, None] * basis)
+    M = M - M.mean(axis=0, keepdims=True)  # (I − J/N)·M
+    return M.astype(np.float32)
 
 
 def _htk_mel_bank(n_freqs: int, n_mels: int, sr: int = 16000) -> np.ndarray:

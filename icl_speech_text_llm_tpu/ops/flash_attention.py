@@ -565,10 +565,13 @@ def default_bwd_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
     """Measured backward block heuristic (scripts/sweep_flash_bwd.py, v5e).
 
     The backward kernels accumulate over the *other* axis of the grid, so the
-    forward's huge-KV-tile choice is not optimal there. Sweep (round 2):
-    causal prefill 4×8×1536×128 → best (256,256), 92.4 ms = 1.29× XLA
-    autodiff; non-causal encoder 24×8×1536×64 → best (256,128), 616 ms =
-    1.13× XLA (large K tiles collapse to 0.54×)."""
+    forward's huge-KV-tile choice is not optimal there. r4 sweep at the REAL
+    production shapes: causal 7B-train 4×32×1024×128 → best (256,256),
+    423 ms = 1.16× XLA autodiff (the r2 winner at the bench shape holds);
+    non-causal whisper-large 6×20×1536×64 → best (256,512), 270 ms = 1.66×
+    XLA, where the old (256,128) default sat at 425 ms. (The r2 sweep at the
+    bench-model shape 24×8×1536×64 had preferred kv=128 — tile choice is
+    B/H-dependent; the production shape wins the default.)"""
 
     def pick(target, n):
         for b in (target, 512, 256, 128):
@@ -576,7 +579,7 @@ def default_bwd_blocks(seq_len: int, kv_len: int, causal: bool) -> tuple:
                 return b
         return n
 
-    return pick(256, seq_len), pick(256 if causal else 128, kv_len)
+    return pick(256, seq_len), pick(256 if causal else 512, kv_len)
 
 
 @functools.partial(

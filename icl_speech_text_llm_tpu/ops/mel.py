@@ -129,26 +129,47 @@ def _log_mel_single(wav: jnp.ndarray, mel_fb: jnp.ndarray, window: jnp.ndarray,
                     use_dft: bool = True) -> jnp.ndarray:
     """(N_SAMPLES,) f32 → (n_mels, N_FRAMES) Whisper log-mel features.
 
-    ``use_dft``: the STFT as ONE windowed-DFT matmul on the MXU at
+    ``use_dft``: the STFT as windowed-DFT matmuls on the MXU at
     ``Precision.HIGHEST``. The original design note rejected the DFT-matmul
     for ~9e-2 low-power-bin error — that error came from TPU's DEFAULT
     matmul precision (bf16 operands); at HIGHEST (f32 multi-pass) the
     DFT-matmul matches the rfft path to 7.9e-4 in the log-mel output on
     device (scripts/probe_frontends.py — well under the bf16 resolution the
-    encoder consumes it at) and 2e-7 on CPU. Measured device win is modest:
-    6.67 vs 7.29 ms per 6×30s clips (the frontend is dominated by the
-    overlapping-frame gather, not the transform — see `_frame_indices`)."""
+    encoder consumes it at) and 2e-7 on CPU.
+
+    SLICE framing (r4): the frontend cost is ~50× the transform's FLOPs —
+    it is the overlapping-frame GATHER (3000×400 rows materialized), not
+    the DFT. With hop 160 / window 400, frame i is rows i, i+1 and the
+    first half of row i+2 of the signal viewed as (·, 160) — so the STFT is
+    THREE contiguous-slice matmuls against 160-row chunks of the windowed
+    basis, summed. Identical math (a dot over 400 terms split 160+160+80),
+    zero gathers, and the signal is read 3× (5.8 MB) instead of one
+    materialized 4.8 MB frame tensor + gather traffic."""
     # Whisper drops the final STFT frame, so only N_FRAMES windows are needed;
     # center=True reflect padding of n_fft//2 on each side.
     padded = jnp.pad(wav, (N_FFT // 2, N_FFT // 2), mode="reflect")
-    frames = padded[_frame_indices()]  # (N_FRAMES, N_FFT)
 
     if use_dft:
         basis = jnp.asarray(_dft_basis())  # window folded into the basis
-        spec2 = jax.lax.dot(frames, basis,
-                            precision=jax.lax.Precision.HIGHEST)
+        hp = jax.lax.Precision.HIGHEST
+        n_full = N_FFT // HOP_LENGTH  # full 160-rows per frame (2)
+        rem = N_FFT - n_full * HOP_LENGTH  # trailing samples (80)
+        n_rows = N_FRAMES + n_full + 1  # rows so every slice below is valid
+        sig = jnp.pad(padded, (0, n_rows * HOP_LENGTH - padded.shape[0]))
+        rows = sig.reshape(n_rows, HOP_LENGTH)
+        spec2 = jax.lax.dot(
+            rows[0:N_FRAMES], basis[:HOP_LENGTH], precision=hp)
+        for j in range(1, n_full):
+            spec2 = spec2 + jax.lax.dot(
+                rows[j:N_FRAMES + j], basis[j * HOP_LENGTH:(j + 1) * HOP_LENGTH],
+                precision=hp)
+        if rem:
+            spec2 = spec2 + jax.lax.dot(
+                rows[n_full:N_FRAMES + n_full, :rem],
+                basis[n_full * HOP_LENGTH:], precision=hp)
         power = spec2[:, :N_FREQS] ** 2 + spec2[:, N_FREQS:] ** 2
     else:
+        frames = padded[_frame_indices()]  # (N_FRAMES, N_FFT)
         spec = jnp.fft.rfft(frames * window[None, :], axis=-1)
         power = spec.real**2 + spec.imag**2
 
