@@ -61,9 +61,12 @@ def _int4_kernel(*refs, n_k: int, group: int, sub: int, stacked: bool,
     Σ x(w−8)·s = (Σ x·w)·s − 8·(Σ x)·s.
 
     ``unpack_u8``: additionally skip the up-front uint8→int32 widening and
-    mask/shift the uint8 vectors directly (4 ops/byte) — whether this wins
-    depends on how Mosaic lowers sub-word bitwise ops (A/B via
-    scripts/probe_int4_bw.py U8=1)."""
+    mask/shift the uint8 vectors directly (4 ops/byte). MEASURED DEAD END on
+    current Mosaic (r4, scripts/probe_int4_bw.py U8=1): lowering rejects the
+    uint8→bfloat16 vector cast (`NotImplementedError: Unsupported cast`), and
+    routing through an intermediate widen re-adds the op the variant exists
+    to remove. Kept as a flag so the A/B reruns trivially if Mosaic grows
+    the cast; zero_fold's 5 ops/byte is the production path."""
     if stacked:  # leading scalar-prefetch ref (the layer index)
         _, x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc = refs
     else:

@@ -21,7 +21,9 @@ import numpy as np
 from icl_speech_text_llm_tpu.ops.quant import quantize_tensor_int4
 from icl_speech_text_llm_tpu.ops.int4_matmul import int4_matmul
 
-M, K, N = 4, 5120, 13824
+M = int(os.environ.get("M", "4"))
+K = int(os.environ.get("K", "5120"))
+N = int(os.environ.get("N", "13824"))
 ITERS = int(os.environ.get("ITERS", "250"))
 
 key = jax.random.PRNGKey(0)
@@ -63,8 +65,19 @@ def timed(bk, bn):
 def main():
     print(f"device {jax.devices()[0]}  {M}x{K}x{N} int4 "
           f"({nbytes/1e6:.1f} MB packed+scales)")
-    for bk, bn in ((512, None), (512, 3456), (512, 6912), (640, 3456),
-                   (384, 4608), (256, 6912), (1280, 2304), (2560, 1152)):
+    if (K, N) == (5120, 13824) and "BKBN" not in os.environ:
+        cands = ((512, None), (512, 3456), (512, 6912), (640, 3456),
+                 (384, 4608), (256, 6912), (1280, 2304), (2560, 1152))
+    elif "BKBN" in os.environ:  # e.g. BKBN="512:None,256:5120"
+        cands = tuple(
+            (int(bk), None if bn in ("None", "0") else int(bn))
+            for bk, bn in (p.split(":") for p in os.environ["BKBN"].split(",")))
+    else:  # generic grid: 128-multiple divisors of N × a bk ladder
+        bns = [None] + [b for b in range(128, min(N, 8192) + 1, 128)
+                        if N % b == 0][-4:]
+        cands = tuple((bk, bn) for bk in (256, 512, 1024)
+                      for bn in bns)
+    for bk, bn in cands:
         try:
             timed(bk, bn)
         except Exception as e:  # noqa: BLE001
