@@ -265,13 +265,14 @@ def bench_salmonn_7b(jax, tok, scale: str = "7b"):
     # 13B uses int4 (group-128): int8 13B = 12.7 GB decoder + 1.6 GB bf16
     # encoders + 0.85 GB/sample MHA KV cache OOMs the 16 GB v5e even at
     # batch 1 (measured); int4 (6.4 GB) fits with room for batch 2+
+    chunk = int(os.environ.get("BENCH_ENCODE_CHUNK", "6"))
     if scale == "13b":
         B = int(os.environ.get("BENCH_13B_BATCH", "4"))
-        cfg = dataclasses.replace(salmonn_13b(), encode_chunk=6)
+        cfg = dataclasses.replace(salmonn_13b(), encode_chunk=chunk)
         bits = 4
     else:
         B = int(os.environ.get("BENCH_7B_BATCH", "4"))
-        cfg = dataclasses.replace(salmonn_7b(), encode_chunk=6)
+        cfg = dataclasses.replace(salmonn_7b(), encode_chunk=chunk)
         bits = 8
     NEW_TOKENS = 10
 

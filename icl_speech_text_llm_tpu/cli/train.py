@@ -52,11 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                             "per_epoch_warmup_restart"])
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--gradient_checkpointing_policy", type=str, default="full",
-                   choices=["full", "dots"],
                    help="'full' remats whole layers; 'dots' saves weight-"
                         "matmul outputs and recomputes only attention dots "
-                        "and elementwise ops (cheaper backward, most of the "
-                        "memory saving)")
+                        "and elementwise ops (needs the saved activations "
+                        "to fit — OOMs at 7B on one 16 GB chip); '1inK' "
+                        "(e.g. 1in4) checkpoints K-1 of every K layers and "
+                        "leaves the K-th plain: backward recompute drops "
+                        "1/K for a bounded activation-memory increase")
     p.add_argument("--save_every", type=int, default=1)
     p.add_argument("--output_dir", type=str, default="checkpoints")
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
@@ -180,8 +182,8 @@ def main(argv=None):
         state, frozen = init_train_state(model.params, optimizer)
         remat = False
         if args.gradient_checkpointing:
-            remat = ("dots" if args.gradient_checkpointing_policy == "dots"
-                     else True)
+            pol = args.gradient_checkpointing_policy
+            remat = True if pol == "full" else pol
         step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
                                   remat=remat,
                                   pipeline=pipeline)

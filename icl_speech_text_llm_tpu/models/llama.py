@@ -516,12 +516,29 @@ def _remat_policy(remat):
     ``True`` → full per-layer remat (recompute everything; the reference's
     gradient_checkpointing, train/train.py:199-208). ``"dots"`` → selective
     remat: weight-matmul outputs are SAVED, only batched dots (the attention
-    score/context einsums) and elementwise ops recompute — attention-only
-    remat, trading far less backward FLOPs for most of the activation-memory
-    saving (VERDICT r3 weak #5: remat was all-or-nothing per layer)."""
+    score/context einsums) and elementwise ops recompute. MEASURED at 7B
+    batch 4 / seq 1024 (r4): "dots" needs 22.3 GB HBM — the saved gate/up
+    activations are bf16[32,4,1024,11008] = 2.7 GB EACH — and cannot compile
+    on a 16 GB v5e; it remains useful at smaller scales / bigger chips.
+    ``"1inK"`` (e.g. "1in4") → MIXED-DEPTH remat: K−1 of every K layers are
+    checkpointed, the K-th runs plain and lets autodiff save its own
+    residuals — backward recompute drops by 1/K for a bounded activation-
+    memory increase (the profitable selective axis at this scale: attention
+    dots are ~4% of layer FLOPs here, so policy-level selectivity must save
+    the matmul outputs, which is exactly what doesn't fit)."""
     if remat == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     return None  # full remat
+
+
+def _mixed_remat_group(remat) -> int:
+    """0 when ``remat`` is not a "1inK" spec, else K (>= 2)."""
+    if isinstance(remat, str) and remat.startswith("1in"):
+        g = int(remat[3:])
+        if g < 2:
+            raise ValueError(f"1inK remat needs K >= 2, got {remat!r}")
+        return g
+    return 0
 
 
 def run_layer_stack(
@@ -555,19 +572,39 @@ def run_layer_stack(
                               inv_freq, ckv, cpos, fl, ring, attn_override)
 
     layer_fn = _fwd
-    if remat:
+    g = _mixed_remat_group(remat)
+    if g and n_local % g:
+        g = 0  # stack not divisible: degrade to full per-layer remat
+        remat = True
+    if remat and not g:
         layer_fn = jax.checkpoint(_fwd, static_argnums=(0,),
                                   policy=_remat_policy(remat))
 
-    def scan_body(x, sc):
-        layer, lo = sc
-        x, _ = layer_fn(
+    def call(fn, layer, lo, x):
+        x, _ = fn(
             cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
             positions, inv_freq, None, None, flash_lengths,
         )
-        return x, None
+        return x
 
-    x, _ = jax.lax.scan(scan_body, x, (layers, lora if use_lora else dummy))
+    scanned = (layers, lora if use_lora else dummy)
+    if g:
+        ckpt_fn = jax.checkpoint(_fwd, static_argnums=(0,))
+        scanned = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_local // g, g) + a.shape[1:]), scanned)
+
+        def scan_body(x, sc):
+            # K−1 checkpointed layers, then one plain (saves its residuals)
+            for j in range(g):
+                layer, lo = jax.tree_util.tree_map(lambda a: a[j], sc)
+                x = call(ckpt_fn if j < g - 1 else _fwd, layer, lo, x)
+            return x, None
+    else:
+        def scan_body(x, sc):
+            layer, lo = sc
+            return call(layer_fn, layer, lo, x), None
+
+    x, _ = jax.lax.scan(scan_body, x, scanned)
     return x
 
 
@@ -639,18 +676,37 @@ def decoder_forward(
                               lora_ids=lora_ids)
 
     layer_fn = _fwd
-    if remat:
+    g = _mixed_remat_group(remat)
+    if g and (use_cache or cfg.n_layers % g):
+        g = 0  # mixed remat is a training-path option; degrade to full
+        remat = True
+    if remat and not g:
         layer_fn = jax.checkpoint(_fwd, static_argnums=(0,),
                                   policy=_remat_policy(remat))
 
-    def scan_body(x, sc):
-        layer, lo, ckv = sc
-        x, new_kv = layer_fn(
-            cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
-            positions, inv_freq, ckv if use_cache else None, cache_positions,
-            flash_lengths,
-        )
-        return x, (new_kv if use_cache else jnp.zeros(()))
+    if g:
+        ckpt_fn = jax.checkpoint(_fwd, static_argnums=(0,))
+        scanned = jax.tree_util.tree_map(
+            lambda a: a.reshape((cfg.n_layers // g, g) + a.shape[1:]), scanned)
+
+        def scan_body(x, sc):
+            # K−1 checkpointed layers, then one plain (saves its residuals)
+            for j in range(g):
+                layer, lo, _ = jax.tree_util.tree_map(lambda a: a[j], sc)
+                x, _ = (ckpt_fn if j < g - 1 else _fwd)(
+                    cfg, layer, lo if use_lora else None, lora_scaling, x,
+                    mask, positions, inv_freq, None, None, flash_lengths,
+                )
+            return x, jnp.zeros(())
+    else:
+        def scan_body(x, sc):
+            layer, lo, ckv = sc
+            x, new_kv = layer_fn(
+                cfg, layer, lo if use_lora else None, lora_scaling, x, mask,
+                positions, inv_freq, ckv if use_cache else None, cache_positions,
+                flash_lengths,
+            )
+            return x, (new_kv if use_cache else jnp.zeros(()))
 
     x, new_kvs = jax.lax.scan(scan_body, x, scanned)
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)

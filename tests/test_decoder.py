@@ -232,3 +232,31 @@ def test_hoist_q4_roundtrip(monkeypatch):
     assert wq["q4"].ndim == 3 and wq["layer"] is li
     np.testing.assert_array_equal(
         np.asarray(wq["s"]), np.asarray(layers["attn"]["wq"]["s"][1]))
+
+
+def test_mixed_remat_matches_plain(setup):
+    """remat="1in2" (mixed-depth: checkpoint K-1 of every K layers) must be
+    a pure memory/recompute trade — forward AND gradients identical to the
+    un-remattted forward. Also covers the degrade path (K not dividing
+    n_layers falls back to full per-layer remat)."""
+    lora_cfg = LoraConfig(rank=4)
+    lora = init_lora(jax.random.PRNGKey(3), CFG, lora_cfg)
+    # non-zero B so LoRA grads flow
+    lora = jax.tree_util.tree_map(lambda x: x + 0.01, lora)
+    s = setup
+
+    def loss(embeds, lora, remat):
+        h, _ = decoder_forward(CFG, s["params"], embeds, s["mask"],
+                               s["positions"], lora=lora,
+                               lora_scaling=lora_cfg.scaling, remat=remat)
+        return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-3
+
+    for remat in ("1in2", "1in3", True):  # 1in3 degrades (2 % 3 != 0)
+        v0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(
+            s["embeds"], lora, False)
+        v1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(
+            s["embeds"], lora, remat)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
