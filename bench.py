@@ -712,9 +712,12 @@ def bench_serving(jax, tok):
         kv_int8=kv_int8, **pfx_kw,
     )
     lora_scaling = cfg.lora.scaling if cfg.lora is not None else 1.0
+    # dtype matches the static engine's compute dtype (bf16): an f32 pool
+    # doubles decode KV reads vs static AND cannot fit next to 7B/13B
+    # weights (9 slots × 32L × f32 ≈ 10 GB → ResourceExhausted on 16 GB)
     engine = ContinuousBatchingEngine(
         cfg.llm, params["llm"], scfg, lora=params.get("lora"),
-        lora_scaling=lora_scaling)
+        lora_scaling=lora_scaling, dtype=cfg.compute_dtype)
     embed_jit = jax.jit(functools.partial(salmonn_prompt_embeddings, cfg))
 
     pid = None

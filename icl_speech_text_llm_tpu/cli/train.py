@@ -12,6 +12,7 @@ import argparse
 import os
 import logging
 import random
+import re
 
 import numpy as np
 
@@ -183,6 +184,11 @@ def main(argv=None):
         remat = False
         if args.gradient_checkpointing:
             pol = args.gradient_checkpointing_policy
+            if pol != "full" and pol != "dots" and not re.fullmatch(
+                    r"1in\d+", pol):
+                raise SystemExit(
+                    f"--gradient_checkpointing_policy: invalid value {pol!r} "
+                    "(expected 'full', 'dots', or '1inK' e.g. '1in4')")
             remat = True if pol == "full" else pol
         step_fn = make_train_step(model.cfg, optimizer, loss_fn=loss_fn,
                                   remat=remat,

@@ -252,6 +252,11 @@ class SalmonnEngine:
         # switch compiled programs without recompiling
         shape_key = (self.gen, tuple(v.shape for v in batch.values()))
         toks = np.asarray(self._fn(shape_key)(self.params, batch))
+        return self.decode_rows(toks)
+
+    def decode_rows(self, toks: np.ndarray) -> List[str]:
+        """EOS-truncate + detokenize generated rows — the string boundary the
+        reference crosses via batch_decode (ref: custom_salmon.py:729-739)."""
         out = []
         for row in toks:
             ids = []

@@ -17,6 +17,7 @@ SALMONN; ref: models/custom_salmon.py:630-636,704-720) and Qwen2 LLM
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -26,6 +27,16 @@ import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, repeat_kv
 from .common import apply_rope, dense_init, embed_init, rms_norm, rope_frequencies, split_keys
+
+logger = logging.getLogger(__name__)
+
+
+def _warn_remat_degraded(remat, n_layers: int, why: str) -> None:
+    """A requested '1inK' spec silently becoming full per-layer remat would
+    make backward-recompute regressions untraceable — say so once."""
+    logger.warning(
+        "remat=%r degraded to full per-layer remat (%s; n_layers=%d): "
+        "backward recompute will NOT drop by 1/K", remat, why, n_layers)
 
 
 @dataclass(frozen=True)
@@ -532,7 +543,13 @@ def _remat_policy(remat):
 
 
 def _mixed_remat_group(remat) -> int:
-    """0 when ``remat`` is not a "1inK" spec, else K (>= 2)."""
+    """0 when ``remat`` is not a "1inK" spec, else K (>= 2).
+
+    Compile-size tradeoff: the mixed-remat scan body unrolls K layer calls
+    per scan step, so the layer HLO is duplicated K times. Compile time and
+    program size grow roughly linearly in K — keep K small (2–4 is the
+    profitable range at 7B; beyond that the recompute saving per extra K
+    shrinks as 1/K while compile cost keeps growing)."""
     if isinstance(remat, str) and remat.startswith("1in"):
         g = int(remat[3:])
         if g < 2:
@@ -574,6 +591,7 @@ def run_layer_stack(
     layer_fn = _fwd
     g = _mixed_remat_group(remat)
     if g and n_local % g:
+        _warn_remat_degraded(remat, n_local, "stack not divisible by K")
         g = 0  # stack not divisible: degrade to full per-layer remat
         remat = True
     if remat and not g:
@@ -678,6 +696,9 @@ def decoder_forward(
     layer_fn = _fwd
     g = _mixed_remat_group(remat)
     if g and (use_cache or cfg.n_layers % g):
+        _warn_remat_degraded(
+            remat, cfg.n_layers,
+            "KV cache present" if use_cache else "n_layers not divisible by K")
         g = 0  # mixed remat is a training-path option; degrade to full
         remat = True
     if remat and not g:

@@ -19,6 +19,9 @@ import bench  # noqa: E402
 
 import jax  # noqa: E402
 
+if os.environ.get("BENCH_CPU"):  # mirror bench.main()'s platform switch
+    jax.config.update("jax_platforms", "cpu")
+
 from icl_speech_text_llm_tpu.utils.tokenization import get_tokenizer  # noqa: E402
 
 

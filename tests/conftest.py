@@ -43,6 +43,7 @@ import pytest  # noqa: E402
 # The default run executes host+heavy (everything but device) and stays green.
 _HEAVY_FILES = {
     "test_beats_fidelity.py", "test_benchmark_configs.py", "test_decoder.py",
+    "test_e2e_real_vocab_generation.py",
     "test_driver_configs.py", "test_flash_attention.py",
     "test_generation_parity.py", "test_hf_fidelity.py",
     "test_int4_matmul.py", "test_interactive_cli.py", "test_lora_bank_ckpt.py",
@@ -58,8 +59,8 @@ _HEAVY_FILES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.get_closest_marker("device"):
-            continue
+        if item.get_closest_marker("device") or item.get_closest_marker("heavy"):
+            continue  # explicit per-test heavy markers override the file tier
         name = os.path.basename(str(item.fspath))
         item.add_marker(
             pytest.mark.heavy if name in _HEAVY_FILES else pytest.mark.host)

@@ -260,3 +260,46 @@ def test_mixed_remat_matches_plain(setup):
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7), g0, g1)
+
+
+def test_mixed_remat_k4_run_layer_stack():
+    """remat="1in4" exercised through run_layer_stack on a 4-layer stack —
+    the K>2 unrolled-group path (3 checkpointed layers + 1 plain per scan
+    step) with no degradation. Forward and grads must match plain."""
+    import dataclasses
+
+    from icl_speech_text_llm_tpu.models.llama import run_layer_stack
+
+    cfg = dataclasses.replace(CFG, n_layers=4)
+    params = init_decoder(jax.random.PRNGKey(7), cfg)
+    B, S = 2, 16
+    embeds = jax.random.normal(jax.random.PRNGKey(8), (B, S, cfg.dim)) * 0.02
+    mask = make_prefill_mask(jnp.array([S, S - 3]), S)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+    def loss(embeds, remat):
+        h = run_layer_stack(cfg, params["layers"], embeds, mask, positions,
+                            remat=remat)
+        return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-3
+
+    v0, g0 = jax.value_and_grad(loss)(embeds, False)
+    v1, g1 = jax.value_and_grad(loss)(embeds, "1in4")
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_mixed_remat_degrade_warns(caplog):
+    """A '1inK' spec that cannot apply (K does not divide the stack) must
+    emit a traceable warning, not silently run full per-layer remat."""
+    import logging as _logging
+
+    s_params = init_decoder(jax.random.PRNGKey(0), CFG)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (1, 8, CFG.dim)) * 0.02
+    mask = make_prefill_mask(jnp.array([8]), 8)
+    positions = jnp.broadcast_to(jnp.arange(8), (1, 8))
+    with caplog.at_level(_logging.WARNING,
+                         logger="icl_speech_text_llm_tpu.models.llama"):
+        decoder_forward(CFG, s_params, embeds, mask, positions, remat="1in3")
+    assert any("degraded to full per-layer remat" in r.message
+               for r in caplog.records)

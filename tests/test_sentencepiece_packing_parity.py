@@ -48,40 +48,11 @@ T_A = 8  # audio positions per slot (small; irrelevant to token parity)
 
 @pytest.fixture(scope="module")
 def sp_tok():
-    """LLaMA-style sentencepiece-like tokenizer built offline.
+    """Shared disk-cached LLaMA-style Metaspace/BPE tokenizer — see
+    tests/sp_tok_util.py (the `▁`-seam behavior this file pins down)."""
+    from tests.sp_tok_util import build_sp_tokenizer
 
-    BPE over a Metaspace pre-tokenizer (replacement '▁', prepended to the
-    text start) — the exact pre-tokenization scheme of LlamaTokenizerFast,
-    so separately-tokenized parts exhibit the real `▁`-seam behavior the
-    reference's part-wise tokenization hits."""
-    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
-    from transformers import PreTrainedTokenizerFast
-
-    corpus = []
-    for dt in (DatasetType.VOXCELEB, DatasetType.HVB, DatasetType.VOXPOPULI,
-               DatasetType.MELD, DatasetType.SQA):
-        cfg = get_dataset_config(dt)
-        corpus.append(cfg.prompt_template)
-        corpus.extend(cfg.valid_labels or [])
-    corpus += [
-        "<Speech>", "</Speech>", "Output:", "Text:", "Transcript:",
-        "Now analyze this input:", "Here are few examples to learn from:",
-        "the weather is quite nice today", "please confirm my account balance",
-        "Document:", "Question:", "what did the speaker say about tickets",
-    ]
-    tok = Tokenizer(models.BPE(unk_token="<unk>"))
-    tok.pre_tokenizer = pre_tokenizers.Metaspace(
-        replacement="▁", prepend_scheme="always")
-    tok.decoder = decoders.Metaspace(replacement="▁", prepend_scheme="always")
-    trainer = trainers.BpeTrainer(
-        vocab_size=700, special_tokens=["<unk>", "<s>", "</s>"],
-        initial_alphabet=sorted({c for line in corpus for c in line} | {"▁"}),
-    )
-    tok.train_from_iterator(corpus, trainer)
-    hf = PreTrainedTokenizerFast(
-        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
-        eos_token="</s>", pad_token="</s>")
-    return HFTokenizerAdapter(hf)
+    return build_sp_tokenizer()
 
 
 def reference_stream(tok, prompt: str, completion: str, max_examples: int,
