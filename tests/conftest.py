@@ -37,11 +37,14 @@ import pytest  # noqa: E402
 
 # Test tiers (VERDICT r2 weak #6: no fast gate on a 1-core box where the full
 # suite takes ~25 min). Three markers:
-#   host   — fast gate: `pytest -m host` runs in <1 min (auto-applied)
+#   host   — fast gate: `pytest -m host` targets ≤90 s on this box (measured
+#            r5 after moving test_auto_batch.py to heavy; the tokenizer-
+#            training fixture is now disk-cached in tests/sp_tok_util.py)
 #   heavy  — compile-bound CPU tests (whole files, by measured duration)
 #   device — needs the real TPU chip; OPT-IN via `pytest -m device`
 # The default run executes host+heavy (everything but device) and stays green.
 _HEAVY_FILES = {
+    "test_auto_batch.py",
     "test_beats_fidelity.py", "test_benchmark_configs.py", "test_decoder.py",
     "test_e2e_real_vocab_generation.py",
     "test_driver_configs.py", "test_flash_attention.py",
