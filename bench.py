@@ -685,6 +685,14 @@ def bench_serving(jax, tok):
             "lora": init_lora(klo, cfg.llm, cfg.lora),
         }
         B, NEW_TOKENS, N_REQ, SLOTS = 4, 10, 8, 8
+        if scale == "13b":
+            # 13B slot budget: one int8-KV slot is 2·40L·40H·1408·128 =
+            # 576 MB; with int4 weights (~8.9 GB) + the XLA prefill's
+            # per-layer bf16 weight materialization (~0.6 GB/layer transient
+            # liveness) an 8-slot pool compiles to 17.54 GB > 15.75 GB HBM
+            # (measured r5). 4 slots fit with ~0.6 GB margin and still
+            # exercise slot reuse across the 2 admission waves.
+            SLOTS = 4
         seq_len, text_len, secs = 1024, 448, 30
     else:
         B, NEW_TOKENS, N_REQ, SLOTS = 4, 10, 32, 8
@@ -701,6 +709,12 @@ def bench_serving(jax, tok):
     _, per_static = _timed(static_fn, params, batches[0], rounds=3,
                            pipeline=8 if scale == "bench" else 4)
     static_utt_s = B / per_static
+    if scale in ("7b", "13b"):
+        # release the static executable before building the slot pool: at 13B
+        # its retained allocation is the difference between the serving
+        # engine's first admission fitting HBM or not (measured r5: the
+        # post-prefill slot bookkeeping op hit ResourceExhausted with it live)
+        static_fn.clear_cache()
 
     # --- serving engine over the same requests ---
     pfx_kw = dict(prefix_buckets=(1024,)) if use_prefix else {}

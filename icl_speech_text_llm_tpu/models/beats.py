@@ -54,6 +54,15 @@ class BeatsConfig:
     rel_pos_max_distance: int = 800
     use_flash: bool = False  # pad tokens to a 128 multiple + Pallas flash
     # (plain kernel when gated_rel_pos is off; flash_attention_gated_bias when on)
+    # r5 lean single-KV-pass gated-bias kernel (host-precomputed gate,
+    # batch-innermost grid → bias fetched once per (head, q-tile)). MEASURED
+    # NEGATIVE at the BEATs-large shape (scripts/probe_gated_bias_rows.py,
+    # 6×12×1536×64, bq ∈ {256,384,768,1536}): 0.92–1.07 ms vs the general
+    # kernel's 0.80–0.93 — the kernel is VPU-bound on the f32 score chain
+    # (analytic ~0.86 ms at ~5 f32 ops/elem over 170M score elements), so
+    # eliminating the per-batch bias re-fetch buys nothing. Kept opt-in for
+    # shapes with much larger B where the bias read dominates.
+    lean_bias_flash: bool = False
     # Grouped-conv positional embedding lowering strategy (numerics identical):
     #   "grouped"  — one lax.conv with feature_group_count (XLA's grouped-conv
     #                lowering may expand filters block-diagonally → G× FLOPs)
@@ -373,21 +382,25 @@ def _conv_pos_embed(cfg: BeatsConfig, p, x: jnp.ndarray) -> jnp.ndarray:
     return gelu(out)
 
 
-def _gated_bias(cfg: BeatsConfig, a, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """WavLM-style gated relative position bias, (B, H, T, T) f32.
+def _gate_scale_rows(cfg: BeatsConfig, a, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-query-row gate scale, (B, H, T) f32 — the WavLM gru_rel_pos gate.
 
     Gate input is the raw layer input split into heads (the non-incremental
     fast path in WavLM/BEATs MultiheadAttention, as validated by HF's WavLM
     port): sigmoid(sum-of-4 pairs of grep_linear(x_heads)) → gates a,b;
-    scale = a * (b * grep_a - 1) + 2; bias' = scale * bias.
+    scale = a * (b * grep_a - 1) + 2.
     """
     B, T, d = x.shape
     g = x.reshape(B, T, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)  # (B,H,T,hd)
     proj = g.astype(jnp.float32) @ a["grep_w"].astype(jnp.float32) + a["grep_b"].astype(jnp.float32)
     pair = jax.nn.sigmoid(proj.reshape(B, cfg.n_heads, T, 2, 4).sum(-1))  # (B,H,T,2)
     gate_a, gate_b = pair[..., 0], pair[..., 1]
-    scale = gate_a * (gate_b * a["grep_a"].astype(jnp.float32)[None, :, None] - 1.0) + 2.0
-    return scale[..., None] * bias[None]  # (B,H,T,T)
+    return gate_a * (gate_b * a["grep_a"].astype(jnp.float32)[None, :, None] - 1.0) + 2.0
+
+
+def _gated_bias(cfg: BeatsConfig, a, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """WavLM-style gated relative position bias, (B, H, T, T) f32."""
+    return _gate_scale_rows(cfg, a, x)[..., None] * bias[None]  # (B,H,T,T)
 
 
 def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray],
@@ -400,17 +413,33 @@ def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray],
     k = (x @ a["wk"].astype(dt) + a["bk"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     v = (x @ a["wv"].astype(dt) + a["bv"].astype(dt)).reshape(B, T, cfg.n_heads, hd)
     if bias is not None and bias_flash and lengths is not None:
-        # gated-bias flash: the (B, H, T, T) logits/bias never materialize;
-        # the gate computes in-kernel from the raw layer input (forward-only
-        # — the audio encoders are frozen in SALMONN training)
-        from ..ops.flash_attention import flash_attention_gated_bias
+        # gated-bias flash: the (B, H, T, T) logits/bias never materialize
+        # (forward-only — the audio encoders are frozen in SALMONN training).
+        # Two kernels: the r5 LEAN single-KV-pass kernel (gate precomputed
+        # host-side, batch-innermost grid so the shared bias tile is fetched
+        # once per (head, q-tile) — see _flash_bias_rows_kernel) whenever the
+        # whole KV row fits VMEM, else the general tiled kernel with the
+        # gate computed in-kernel.
+        from ..ops.flash_attention import (
+            flash_attention_gated_bias,
+            flash_attention_gated_bias_rows,
+            flash_bias_rows_usable,
+        )
 
-        xh = x.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-        out = flash_attention_gated_bias(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), xh, bias,
-            a["grep_w"], a["grep_b"], a["grep_a"], lengths,
-        ).transpose(0, 2, 1, 3).reshape(B, T, d)
+        if cfg.lean_bias_flash and flash_bias_rows_usable(
+                B, cfg.n_heads, T, hd, q.dtype.itemsize):
+            scale = _gate_scale_rows(cfg, a, x)  # (B, H, T) f32, one fused op
+            out = flash_attention_gated_bias_rows(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), scale, bias, lengths,
+            ).transpose(0, 2, 1, 3).reshape(B, T, d)
+        else:
+            xh = x.reshape(B, T, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+            out = flash_attention_gated_bias(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), xh, bias,
+                a["grep_w"], a["grep_b"], a["grep_a"], lengths,
+            ).transpose(0, 2, 1, 3).reshape(B, T, d)
     elif bias is not None:
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -441,12 +470,42 @@ def _layer_forward(cfg: BeatsConfig, layer, x, bias: Optional[jnp.ndarray],
     return layer_norm(x * cfg.deep_norm_alpha + h, layer["ln_mlp"]["w"], layer["ln_mlp"]["b"])
 
 
+def beats_num_tokens(cfg: BeatsConfig, n_samples: int) -> int:
+    """Tokens a clip of ``n_samples`` produces (kaldi snip_edges framing →
+    patch grid): n_frames = (n−400)//160+1, tokens = (n_frames//16)·(128//16).
+    30 s → 1496."""
+    n_frames = (n_samples - 400) // 160 + 1
+    return (n_frames // cfg.patch) * (cfg.n_fbank // cfg.patch)
+
+
+def beats_bias_table(cfg: BeatsConfig, params: Dict[str, Any],
+                     n_tokens: int, pad_to: int = 0) -> jnp.ndarray:
+    """The shared gated-rel-pos bias table (H, T, T) f32 for a T-token clip
+    (zero-padded to (H, pad_to, pad_to) when ``pad_to`` > n_tokens — the
+    flash kernels' 128-aligned layout).
+
+    A pure function of the FROZEN rel_bias embedding and T — hoist it out of
+    per-chunk encode loops: built inside the `lax.map` chunk body the 113 MB
+    gather+transpose(+pad) re-materializes once per chunk (~2 ms each at the
+    salmonn-7b shape); computed once here, it is loop-invariant and every
+    chunk reuses it (numerics identical)."""
+    buckets = relative_position_buckets(
+        n_tokens, cfg.rel_pos_buckets, cfg.rel_pos_max_distance)
+    bias = params["rel_bias"].astype(jnp.float32)[buckets]  # (T,T,H)
+    bias = bias.transpose(2, 0, 1)  # (H,T,T)
+    if pad_to > n_tokens:
+        pad = pad_to - n_tokens
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+    return bias
+
+
 def beats_encode_fbank(
     cfg: BeatsConfig,
     params: Dict[str, Any],
     fbank: jnp.ndarray,  # (B, T_frames, n_fbank) already normalized
     dtype=jnp.float32,
     lengths: Optional[jnp.ndarray] = None,  # (B,) valid token counts
+    bias_table: Optional[jnp.ndarray] = None,  # precomputed beats_bias_table
 ) -> jnp.ndarray:
     """Normalized fbank → (B, n_tokens, dim) BEATs features."""
     B, T, F = fbank.shape
@@ -469,11 +528,10 @@ def beats_encode_fbank(
     bias = None
     bias_flash = False
     if cfg.gated_rel_pos:
-        buckets = relative_position_buckets(
-            n_tokens, cfg.rel_pos_buckets, cfg.rel_pos_max_distance
-        )
-        bias = params["rel_bias"].astype(jnp.float32)[buckets]  # (T,T,H)
-        bias = bias.transpose(2, 0, 1)  # (H,T,T)
+        if bias_table is not None:
+            bias = bias_table  # hoisted (H,T,T) — see beats_bias_table
+        else:
+            bias = beats_bias_table(cfg, params, n_tokens)
         if cfg.use_flash and lengths is None:
             from ..ops.flash_attention import flash_attention_usable
 
@@ -481,7 +539,8 @@ def beats_encode_fbank(
             if flash_attention_usable(pad_to, cfg.head_dim):
                 pad = pad_to - n_tokens
                 x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-                bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+                if bias.shape[1] != pad_to:  # hoisted tables arrive pre-padded
+                    bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
                 lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
                 bias_flash = True
     elif cfg.use_flash and lengths is None:
@@ -491,6 +550,11 @@ def beats_encode_fbank(
         if flash_attention_usable(pad_to, cfg.head_dim):
             x = jnp.pad(x, ((0, 0), (0, pad_to - n_tokens), (0, 0)))
             lengths = jnp.full((x.shape[0],), n_tokens, jnp.int32)
+
+    if bias is not None and not bias_flash and bias.shape[1] != n_tokens:
+        # pre-padded hoisted table but the materialized path runs (e.g. CPU):
+        # trim back to the live token count
+        bias = bias[:, :n_tokens, :n_tokens]
 
     def body(x, layer):
         return _layer_forward(cfg, layer, x, bias, lengths, bias_flash), None
@@ -504,6 +568,7 @@ def beats_encode(
     params: Dict[str, Any],
     wav: jnp.ndarray,  # (B, n_samples) float32 in [-1, 1]
     dtype=jnp.float32,
+    bias_table: Optional[jnp.ndarray] = None,  # precomputed beats_bias_table
 ) -> jnp.ndarray:
     """Raw wav → (B, n_tokens, dim) BEATs features.
 
@@ -511,4 +576,5 @@ def beats_encode(
     """
     fb = kaldi_fbank(wav * (2**15), n_mels=cfg.n_fbank)  # BEATs scales wav to int16 range
     fb = (fb - FBANK_MEAN) / (2 * FBANK_STD)
-    return beats_encode_fbank(cfg, params, fb, dtype=dtype)
+    return beats_encode_fbank(cfg, params, fb, dtype=dtype,
+                              bias_table=bias_table)

@@ -137,11 +137,13 @@ def _encode_speech_chunk(
     params: Dict[str, Any],
     mels: jnp.ndarray,
     wavs: Optional[jnp.ndarray],
+    beats_bias: Optional[jnp.ndarray] = None,  # hoisted beats_bias_table
 ) -> jnp.ndarray:
     dt = cfg.compute_dtype
     feats = whisper_encode(cfg.whisper, params["whisper"], mels, dtype=dt)  # (N,1500,Dw)
     if cfg.beats is not None and wavs is not None:
-        audio = beats_encode(cfg.beats, params["beats"], wavs, dtype=dt)  # (N,~1496,Db)
+        audio = beats_encode(cfg.beats, params["beats"], wavs, dtype=dt,
+                             bias_table=beats_bias)  # (N,~1496,Db)
         pad = feats.shape[1] - audio.shape[1]
         audio = jnp.pad(audio, ((0, 0), (0, pad), (0, 0)))
         feats = jnp.concatenate([feats, audio], axis=-1)
@@ -162,12 +164,24 @@ def encode_speech(
     """
     N = mels.shape[0]
     c = cfg.encode_chunk
+    beats_bias = None
+    if cfg.beats is not None and wavs is not None and cfg.beats.gated_rel_pos:
+        # hoist the (H, T, T) rel-pos bias table OUT of the chunk loop: it is
+        # a pure function of the frozen rel_bias weights and the clip length,
+        # and rebuilding it inside the lax.map body re-materializes the
+        # 113 MB gather+pad once per chunk (~2 ms each at salmonn-7b shapes)
+        from .beats import beats_bias_table, beats_num_tokens
+
+        nt = beats_num_tokens(cfg.beats, wavs.shape[-1])
+        pad_to = -(-nt // 128) * 128 if cfg.beats.use_flash else 0
+        beats_bias = beats_bias_table(cfg.beats, params["beats"], nt, pad_to)
     if c and N > c and N % c == 0:
         mels_c = mels.reshape(N // c, c, *mels.shape[1:])
         if wavs is not None:
             wavs_c = wavs.reshape(N // c, c, *wavs.shape[1:])
             out = jax.lax.map(
-                lambda xs: _encode_speech_chunk(cfg, params, xs[0], xs[1]),
+                lambda xs: _encode_speech_chunk(cfg, params, xs[0], xs[1],
+                                                beats_bias),
                 (mels_c, wavs_c),
             )
         else:
@@ -175,7 +189,7 @@ def encode_speech(
                 lambda m: _encode_speech_chunk(cfg, params, m, None), mels_c
             )
         return out.reshape(N, *out.shape[2:])
-    return _encode_speech_chunk(cfg, params, mels, wavs)
+    return _encode_speech_chunk(cfg, params, mels, wavs, beats_bias)
 
 
 def assemble_sequence(

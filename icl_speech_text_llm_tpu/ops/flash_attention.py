@@ -996,6 +996,127 @@ def flash_attention_gated_bias(
       mask_rows)
 
 
+def _flash_bias_rows_kernel(
+    q_ref,  # (1, 1, block_q, D) — pre-scaled by sm_scale·log2e
+    k_ref,  # (1, 1, S, D) the WHOLE key row for this sample/head
+    v_ref,  # (1, 1, S, D)
+    scale_ref,  # (1, 1, block_q, 1) f32 per-row gate·log2e (precomputed)
+    bias_ref,  # (1, block_q, S) bf16 shared rel-pos bias for this head
+    mrow_ref,  # (1, 1, S) f32 additive key mask row for this sample
+    o_ref,  # (1, 1, block_q, D)
+):
+    """Single-KV-pass gated-bias attention (the r5 lean variant).
+
+    Two structural changes vs ``_flash_bias_kernel`` at the production BEATs
+    shape (block_k == S, so the online-softmax machinery is dead weight):
+
+    1. grid is (H, n_q, B) with BATCH INNERMOST and the bias block index a
+       function of (h, qi) only — consecutive grid steps keep the same bias
+       block, so Mosaic skips its DMA and the shared (H, S, S) table is
+       fetched once per (head, q-tile) instead of once per (batch, head,
+       q-tile). At 6×12×1536×64 that is 340 MB → 57 MB of HBM traffic per
+       layer. (The r3 batch-innermost experiment was on the GENERAL kernel,
+       whose kv-loop scratch carry forced 'arbitrary' semantics and extra
+       work per step; this kernel has no scratch at all.)
+    2. the per-row gate arrives PRECOMPUTED (`scale_ref`): the grep_linear
+       matmul + sigmoids run once per layer as one fused XLA op over
+       (B, H, S) instead of per (q-tile, kv-tile) program, and the kernel
+       sheds the gw/gb operands and their VPU chain.
+
+    One-shot softmax (no m/l scratch): s is the COMPLETE score row, so
+    max/exp2/sum/PV happen in-register per program.
+    """
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + scale_ref[0, 0] * bias_ref[0].astype(jnp.float32)
+    s = s + mrow_ref[0]  # additive key mask, broadcast over rows
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2((s - m).astype(v_ref.dtype))  # exp2 domain; bf16 = 2/lane
+    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+    o = jax.lax.dot(p, v_ref[0, 0], preferred_element_type=jnp.float32)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (o * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention_gated_bias_rows(
+    q: jnp.ndarray,  # (B, H, S, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale_rows: jnp.ndarray,  # (B, H, S) f32 gate scale (NOT log2e-scaled)
+    bias: jnp.ndarray,  # (H, S, S) rel-pos bias (shared over batch)
+    lengths: jnp.ndarray,  # (B,) valid KV lengths
+    sm_scale: Optional[float] = None,
+    block_q: int = 768,
+) -> jnp.ndarray:
+    """Gated-bias attention with a HOST-precomputed per-row gate.
+
+    The fast path for BEATs/WavLM when the full KV row fits VMEM (S ≤ ~2k at
+    D=64): see ``_flash_bias_rows_kernel``. Falls back tile-compatibly —
+    callers should guard with ``flash_bias_rows_usable``."""
+    B, H, S, D = q.shape
+    if sm_scale is None:
+        sm_scale = D**-0.5
+    if S % 128:
+        raise ValueError(f"flash_attention_gated_bias_rows needs S % 128 == 0, got {S}")
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    scale_rows = (scale_rows.astype(jnp.float32) * LOG2E)[..., None]  # (B,H,S,1)
+    bias = bias.astype(jnp.bfloat16)
+    mask_rows = jnp.where(
+        jnp.arange(S, dtype=jnp.int32)[None, :] < lengths[:, None].astype(jnp.int32),
+        0.0, MASK_VALUE).astype(jnp.float32)[:, None, :]
+
+    bq = next(b for b in range(min(block_q, S), 0, -128) if S % b == 0)
+    while _rows_tile_bytes(bq, S, D, q.dtype.itemsize) > 14_500_000 and bq > 128:
+        bq = next(b for b in range(bq - 128, 0, -128) if S % b == 0)
+
+    grid = (H, S // bq, B)  # batch INNERMOST: bias block constant across b
+    return pl.pallas_call(
+        _flash_bias_rows_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda h, qi, b: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, S, D), lambda h, qi, b: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, D), lambda h, qi, b: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, bq, 1), lambda h, qi, b: (b, h, qi, 0)),
+                pl.BlockSpec((1, bq, S), lambda h, qi, b: (h, qi, 0)),
+                pl.BlockSpec((1, 1, S), lambda h, qi, b: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, D), lambda h, qi, b: (b, h, qi, 0)),
+            scratch_shapes=[],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # no cross-step scratch state → every dim is parallel; the grid
+            # still runs b innermost, keeping the bias block index constant
+            # across consecutive steps so its re-fetch is skipped
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )(q, k, v, scale_rows, bias, mask_rows)
+
+
+def _rows_tile_bytes(bq: int, S: int, D: int, isz: int) -> int:
+    """Conservative per-program VMEM estimate for the lean rows kernel:
+    double-buffered operands + the (bq, S) f32 score and v-dtype p tiles."""
+    io = (bq * D + 2 * S * D) * isz + bq * S * 2 + bq * 4 + S * 4
+    out = bq * D * isz
+    score = bq * S * 4 + bq * S * isz  # f32 s + p in v.dtype
+    return 2 * (io + out) + score
+
+
+def flash_bias_rows_usable(B: int, H: int, S: int, D: int, itemsize: int = 2) -> bool:
+    """True when the lean kernel fits at some bq (S % 128 == 0 and the whole
+    KV row + a ≥128-row score tile stay under the VMEM budget)."""
+    if S % 128:
+        return False
+    return _rows_tile_bytes(128, S, D, itemsize) <= 14_500_000
+
+
 # ---------------------------------------------------------------------------
 # Single-position decode attention over the KV cache
 # ---------------------------------------------------------------------------

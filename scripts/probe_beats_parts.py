@@ -39,30 +39,55 @@ C = 6  # clips per chunk (salmonn-7b encode_chunk)
 T_FRAMES, N_FBANK = 2992, 128  # 30 s kaldi fbank
 
 
-def timed(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best
+def timed(run, params, fb):
+    """Chain-differenced in-jit timing: the encode body repeats inside ONE
+    lax.scan with a fake data dependency (fb perturbed by the scalar output),
+    and per-iteration time is (t(2N) − t(N)) / N — the tunnel's dispatch/sync
+    floor cancels exactly.
+
+    jax.clear_caches() first: the stub variants rebuild `run` with identical
+    code + closure, and JAX's trace cache then REUSES the unstubbed
+    executable (measured: every stub 'saved' ~0 ms until the cache was
+    cleared — a monkeypatched module attr is invisible to the cache key)."""
+    jax.clear_caches()
+
+    def chain(iters):
+        def fn(p, fb):
+            def body(carry, _):
+                s = run(p, carry)
+                return carry + (s * 1e-30).astype(carry.dtype), None
+            carry, _ = jax.lax.scan(body, fb, None, length=iters)
+            return carry.astype(jnp.float32).sum()
+        return fn
+
+    t = {}
+    for iters in (ITERS, 2 * ITERS):
+        jf = jax.jit(chain(iters))
+        np.asarray(jf(params, fb))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jf(params, fb))
+            best = min(best, time.perf_counter() - t0)
+        t[iters] = best
+    return max((t[2 * ITERS] - t[ITERS]) / ITERS, 1e-9)
 
 
 def main():
-    cfg = BeatsConfig(use_flash=True)
+    cfg = BeatsConfig(use_flash=True,
+                      lean_bias_flash=bool(int(os.environ.get("LEAN", "1"))))
     params = init_beats(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
     fb = jax.random.normal(jax.random.PRNGKey(1), (C, T_FRAMES, N_FBANK), jnp.float32)
 
     def run(p, fb):
-        return beats_encode_fbank(cfg, p, fb, dtype=jnp.bfloat16)
+        # scalar output: a full-tensor fetch pays ~tunnel transfer time and
+        # would swamp the 26 ms compute being measured
+        return beats_encode_fbank(cfg, p, fb, dtype=jnp.bfloat16).astype(
+            jnp.float32).sum()
 
-    full = timed(jax.jit(run), params, fb)
+    full = timed(run, params, fb)
     tp = (T_FRAMES // cfg.patch) * (N_FBANK // cfg.patch)
     flops = 12 * (4 * 2 * C * 1536 * 768**2        # qkvo (padded T)
                   + 2 * 2 * C * 12 * 1536**2 * 64  # attn dots
@@ -80,7 +105,7 @@ def main():
 
     fa.flash_attention_gated_bias = stub
     try:
-        no_attn = timed(jax.jit(run), params, fb)
+        no_attn = timed(run, params, fb)
     finally:
         fa.flash_attention_gated_bias = orig
     print(f"  attention kernel   {(full-no_attn)*1e3:7.2f} ms   (stubbed remainder {no_attn*1e3:.2f})")
@@ -91,7 +116,7 @@ def main():
     common_mod.gelu = lambda x, exact=None: x
     beats_mod.gelu = common_mod.gelu
     try:
-        no_gelu = timed(jax.jit(run), params, fb)
+        no_gelu = timed(run, params, fb)
     finally:
         common_mod.gelu = orig_g
         beats_mod.gelu = beats_orig_g
@@ -108,7 +133,7 @@ def main():
     common_mod.layer_norm = ln_stub
     beats_mod.layer_norm = ln_stub
     try:
-        no_ln = timed(jax.jit(run), params, fb)
+        no_ln = timed(run, params, fb)
     finally:
         common_mod.layer_norm = orig_ln
         beats_mod.layer_norm = beats_orig_ln
@@ -118,7 +143,7 @@ def main():
     orig_cp = beats_mod._conv_pos_embed
     beats_mod._conv_pos_embed = lambda cfg, p, x: x * jnp.asarray(0, x.dtype)
     try:
-        no_cp = timed(jax.jit(run), params, fb)
+        no_cp = timed(run, params, fb)
     finally:
         beats_mod._conv_pos_embed = orig_cp
     print(f"  conv_pos           {(full-no_cp)*1e3:7.2f} ms")

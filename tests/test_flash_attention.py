@@ -210,6 +210,48 @@ def test_gated_bias_flash_matches_materialized_oracle():
     assert d0 < 3e-5 and d1 < 3e-5, (d0, d1)
 
 
+def test_gated_bias_rows_flash_matches_materialized_oracle():
+    """flash_attention_gated_bias_rows (r5 lean single-KV-pass kernel with a
+    host-precomputed gate) vs the explicit (B,H,T,T) computation."""
+    from icl_speech_text_llm_tpu.ops.flash_attention import (
+        flash_attention_gated_bias_rows,
+        flash_bias_rows_usable,
+    )
+
+    B, H, S, D = 2, 2, 256, 64
+    assert flash_bias_rows_usable(B, H, S, D, 4)
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    q = jax.random.normal(ks[0], (B, H, S, D)) * 0.3
+    k = jax.random.normal(ks[1], (B, H, S, D)) * 0.3
+    v = jax.random.normal(ks[2], (B, H, S, D)) * 0.3
+    xh = jax.random.normal(ks[3], (B, H, S, D)) * 0.3
+    bias = jax.random.normal(ks[4], (H, S, S)) * 0.5
+    grep_w = jax.random.normal(ks[5], (D, 8)) * 0.2
+    grep_b = jax.random.normal(ks[6], (8,)) * 0.1
+    grep_a = 1.0 + 0.1 * jax.random.normal(ks[7], (H,))
+    lengths = jnp.array([256, 131])
+
+    # host-side gate (the caller computes this; see beats._gate_scale_rows)
+    proj = xh @ grep_w + grep_b
+    ga = jax.nn.sigmoid(proj[..., :4].sum(-1))
+    gb = jax.nn.sigmoid(proj[..., 4:].sum(-1))
+    scale = ga * (gb * grep_a[None, :, None] - 1.0) + 2.0  # (B,H,S)
+
+    out = flash_attention_gated_bias_rows(q, k, v, scale, bias, lengths,
+                                          block_q=128)
+
+    bias_q = bias.astype(jnp.bfloat16).astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (D**-0.5)
+    logits = logits + scale[..., None] * bias_q[None]
+    valid = (jnp.arange(S)[None, :] < lengths[:, None])[:, None, None]
+    logits = jnp.where(valid, logits, -1e30)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+
+    d0 = np.abs(np.asarray(out[0]) - np.asarray(ref[0])).max()
+    d1 = np.abs(np.asarray(out[1, :, :131]) - np.asarray(ref[1, :, :131])).max()
+    assert d0 < 3e-5 and d1 < 3e-5, (d0, d1)
+
+
 def test_beats_gated_rel_pos_flash_matches_fallback(monkeypatch):
     """beats_encode with use_flash=True AND gated_rel_pos=True (the real
     BEATs config) must match the materialized fallback end-to-end. The
