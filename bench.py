@@ -231,7 +231,13 @@ def bench_headline(jax, tok):
     gen = GenerationConfig(max_new_tokens=10, eos_token_id=tok.eos_token_id,
                            pad_token_id=tok.pad_token_id)
     fn = jax.jit(lambda p, b: salmonn_generate(cfg, gen, p, b))
-    p50, per_call = _timed(fn, params, dev)
+    if os.environ.get("BENCH_CPU"):
+        # smoke tier: one generate call is ~100 s on this 1-core box — the
+        # default 16-call schedule (5 serial + 10 pipelined + warmup) blows
+        # past any sane smoke budget and measures nothing the TPU run needs
+        p50, per_call = _timed(fn, params, dev, rounds=1, pipeline=1)
+    else:
+        p50, per_call = _timed(fn, params, dev)
     return model_name, BATCH / per_call, p50
 
 

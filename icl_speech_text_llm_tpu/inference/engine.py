@@ -56,12 +56,20 @@ class GenerationConfig:
     # TPU-serving addition (no reference equivalent): int8 KV cache — halves
     # the decode-phase KV read, dequant fused into the flash-decode kernel
     kv_int8: bool = False
-    # False routes decode attention through XLA instead of the Pallas
-    # kernel. REQUIRED when jitting generate over GSPMD-sharded params
-    # (a Mosaic custom call cannot be auto-partitioned — it would force the
-    # KV cache to replicate); the serving engine handles this itself via
-    # shard_map, the static engine cannot see the caller's mesh.
-    use_flash_decode: bool = True
+    # Decode attention implementation:
+    #   "xla" (default, r5) — zero-copy cache layout with the cache riding
+    #     the layer scan as a READ-ONLY xs whose per-layer slice XLA fuses
+    #     into the attention matmuls. Measured faster than the Pallas
+    #     flash-decode kernel at both real scales (7B 19.71 → 17.18 ms/step,
+    #     13B 20.79 → 19.66; the kernel reads the cache at ~348 GB/s vs
+    #     XLA's ~844, scripts/profile_decode.py r5).
+    #   True — the Pallas flash-decode kernel (zero-copy layout).
+    #   False — generic scanned-cache path. REQUIRED when jitting generate
+    #     over GSPMD-sharded params (a Mosaic custom call cannot be
+    #     auto-partitioned — it would force the KV cache to replicate); the
+    #     serving engine handles this itself via shard_map, the static
+    #     engine cannot see the caller's mesh.
+    use_flash_decode: Any = "xla"
 
     @property
     def needs_history(self) -> bool:

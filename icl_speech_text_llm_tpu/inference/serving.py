@@ -443,7 +443,9 @@ class ContinuousBatchingEngine:
         # inside shard_map over the tp axis (models/llama.py:_layer_forward
         # gates back to the XLA path if the per-shard shapes don't qualify)
         if mesh is None:
-            self._use_flash = True
+            # r5: fused-slice XLA decode attention beats the Pallas kernel
+            # at both real scales (see GenerationConfig.use_flash_decode)
+            self._use_flash = "xla"
         else:
             from ..parallel.mesh import TP_AXIS
 

@@ -658,10 +658,17 @@ def decoder_forward(
     use_lora = lora is not None
     use_cache = cache is not None
     if (use_cache and cache_positions is not None
-            and inputs_embeds.shape[1] == 1 and use_flash_decode is True):
+            and inputs_embeds.shape[1] == 1
+            and use_flash_decode in (True, "xla")):
         from ..ops.flash_attention import flash_decode_usable
 
         B = inputs_embeds.shape[0]
+        # "xla": zero-copy layout with the fused-slice XLA attention instead
+        # of the Pallas kernel (usable on any backend — no Mosaic gate)
+        if use_flash_decode == "xla":
+            return _decode_step_zero_copy(
+                cfg, params, inputs_embeds, positions, cache, cache_positions,
+                inv_freq, lora, lora_scaling, lora_ids, attn_mode="xla")
         if flash_decode_usable((B, cfg.n_heads, 1, cfg.hd),
                                (B, cfg.n_kv_heads) + cache["k"].shape[-2:]):
             return _decode_step_zero_copy(
@@ -782,6 +789,48 @@ def _reinject_q4(layer, hoisted, li):
     return rec(layer, ())
 
 
+def _xla_decode_attn(cfg: DecoderConfig, q, ck, cv, k_self, v_self, lengths,
+                     k_s=None, v_s=None):
+    """Single-token decode attention over one layer's cache slice, pure XLA.
+
+    q (B, H, 1, hd); ck/cv (B, Hkv, S, hd) — a READ-ONLY lax.scan xs slice of
+    the stacked cache (XLA fuses the slice into the matmuls: measured
+    844 GB/s physical cache read at 7B decode shapes vs the Pallas
+    flash-decode kernel's 348, scripts/profile_decode.py r5). The current
+    token's (k_self, v_self) is folded in as one extra softmax column —
+    UNQUANTIZED under int8 KV, matching the kernel's semantics. GQA handled
+    by grouped einsums (no repeat_kv materialization)."""
+    B, H, _, hd = q.shape
+    Hkv, S = ck.shape[1], ck.shape[2]
+    g = H // Hkv
+    qg = q.reshape(B, Hkv, g, hd)
+    sm = hd ** -0.5
+    # scores over the cache; int8 KV dequant folds AFTER the matmul (the
+    # int8→bf16 cast fuses into the operand load; the per-position scale is
+    # a rank-1 column correction)
+    s_cache = jnp.einsum("bkgd,bksd->bkgs", qg, ck.astype(q.dtype),
+                         preferred_element_type=jnp.float32) * sm
+    if k_s is not None:
+        s_cache = s_cache * k_s[:, :, None, :]
+    valid = (jnp.arange(S, dtype=jnp.int32)[None, :]
+             < lengths[:, None].astype(jnp.int32))  # (B, S)
+    s_cache = jnp.where(valid[:, None, None, :], s_cache, -jnp.inf)
+    s_self = jnp.einsum("bkgd,bkd->bkg", qg,
+                        k_self.reshape(B, Hkv, hd).astype(q.dtype),
+                        preferred_element_type=jnp.float32)[..., None] * sm
+    m = jnp.maximum(jnp.max(s_cache, axis=-1, keepdims=True), s_self)
+    p_cache = jnp.exp(s_cache - m)
+    p_self = jnp.exp(s_self - m)  # (B, Hkv, g, 1)
+    l = jnp.sum(p_cache, axis=-1, keepdims=True) + p_self
+    if v_s is not None:
+        p_cache = p_cache * v_s[:, :, None, :]
+    out = jnp.einsum("bkgs,bksd->bkgd", p_cache.astype(q.dtype),
+                     cv.astype(q.dtype), preferred_element_type=jnp.float32)
+    out = out + p_self * v_self.reshape(B, Hkv, 1, hd).astype(jnp.float32)
+    out = out / l
+    return out.reshape(B, H, 1, hd).astype(q.dtype)
+
+
 def _decode_step_zero_copy(
     cfg: DecoderConfig,
     params: Dict[str, Any],
@@ -793,6 +842,7 @@ def _decode_step_zero_copy(
     lora,
     lora_scaling: float,
     lora_ids,
+    attn_mode: str = "flash",  # "flash" (Pallas kernel) | "xla" (fused slice)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-token cached decode with ZERO cache copies.
 
@@ -831,9 +881,13 @@ def _decode_step_zero_copy(
     # buffer (ops/int4_matmul layer=), exactly like the stacked-cache read.
     # Scales (1/128 the bytes) keep riding the scan.
     xs_layers, hoisted_q4 = _hoist_q4(params["layers"])
+    xla_attn = attn_mode == "xla"
 
     def scan_body(x, sc):
-        layer, lo, li = sc
+        if xla_attn:
+            layer, lo, li, ckv = sc
+        else:
+            layer, lo, li = sc
         if hoisted_q4:
             layer = _reinject_q4(layer, hoisted_q4, li)
         lo = lo if use_lora else None
@@ -844,23 +898,48 @@ def _decode_step_zero_copy(
 
             k_st, k_sc = quantize_kv(k)
             v_st, v_sc = quantize_kv(v)
-            out = flash_decode_attention_q8(
-                q, cache["k"], cache["v"], cache["k_s"], cache["v_s"],
-                lengths, self_kv=(k, v), layer=li)
+            if xla_attn:
+                out = _xla_decode_attn(cfg, q, ckv[0], ckv[1], k, v, lengths,
+                                       k_s=ckv[2], v_s=ckv[3])
+            else:
+                out = flash_decode_attention_q8(
+                    q, cache["k"], cache["v"], cache["k_s"], cache["v_s"],
+                    lengths, self_kv=(k, v), layer=li)
             new = (k_st, v_st, k_sc, v_sc)
         else:
-            out = flash_decode_attention(q, cache["k"], cache["v"], lengths,
-                                         self_kv=(k, v), layer=li)
+            if xla_attn:
+                out = _xla_decode_attn(cfg, q, ckv[0], ckv[1], k, v, lengths)
+            else:
+                out = flash_decode_attention(q, cache["k"], cache["v"],
+                                             lengths, self_kv=(k, v), layer=li)
             new = (k.astype(cache["k"].dtype), v.astype(cache["v"].dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, 1, cfg.n_heads * cfg.hd)
         x = _attn_out_mlp(cfg, layer, lo, lora_scaling, x, out, lora_ids)
         return x, new
 
     xs = (xs_layers, lora if use_lora else dummy, layer_ids)
+    if xla_attn:
+        # the cache rides the scan READ-ONLY (xs, no ys): XLA fuses each
+        # layer's slice into the attention matmuls — no materialized copy
+        # (the copy danger is ys carrying the cache OUT, which append_kv
+        # below replaces)
+        ckv_xs = ((cache["k"], cache["v"], cache["k_s"], cache["v_s"])
+                  if quant else (cache["k"], cache["v"]))
+        xs = xs + (ckv_xs,)
     x, new_kv = jax.lax.scan(scan_body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
-    ck, cv = append_kv(cache["k"], cache["v"], new_kv[0], new_kv[1],
-                       cache_positions)
+    if jax.default_backend() == "tpu":
+        ck, cv = append_kv(cache["k"], cache["v"], new_kv[0], new_kv[1],
+                           cache_positions)
+    else:
+        # non-TPU (the "xla" attn mode has no Mosaic gate, so this path runs
+        # on CPU in tests): plain per-sample DUS — copies, but correct
+        def _dus(c, n, p):  # c (L, Hkv, S, D); n (L, Hkv, 1, D)
+            return jax.lax.dynamic_update_slice(c, n, (0, 0, p, 0))
+
+        vw = jax.vmap(_dus, in_axes=(1, 1, 0), out_axes=1)
+        ck = vw(cache["k"], new_kv[0], cache_positions)
+        cv = vw(cache["v"], new_kv[1], cache_positions)
     new_cache = {"k": ck, "v": cv}
     if quant:
         # scale planes are cache_bytes/256 — a plain per-sample DUS copy is

@@ -84,6 +84,48 @@ def test_kv_decode_matches_full_recompute(setup):
     assert float(jnp.abs(h3[0, 0] - h_ref0[0, -1]).max()) < 1e-4
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_xla_zero_copy_decode_matches_general(setup, quant):
+    """use_flash_decode="xla" (zero-copy layout, fused-slice XLA attention —
+    the r5 decode path that reads the cache at ~844 GB/s vs the Pallas
+    kernel's ~348) must match the general scanned-cache path: same hidden
+    state AND same cache contents after a decode step."""
+    s = setup
+    T_max = 32
+    cache_g = init_kv_cache(CFG, s["B"], T_max,
+                            dtype=jnp.float32 if not quant else jnp.bfloat16,
+                            quant=quant)
+    mask = jnp.concatenate(
+        [s["mask"], jnp.zeros((s["B"], 1, s["S"], T_max - s["S"]), bool)],
+        axis=-1)
+    _, cache_g = decoder_forward(CFG, s["params"], s["embeds"], mask,
+                                 s["positions"], cache=cache_g)
+    cache_x = jax.tree_util.tree_map(jnp.array, cache_g)
+
+    next_tok = jax.random.normal(jax.random.PRNGKey(2), (s["B"], 1, CFG.dim)) * 0.02
+    dmask = make_decode_mask(s["lengths"] + 1, T_max)
+    h_gen, cache_g = decoder_forward(
+        CFG, s["params"], next_tok, dmask, s["lengths"][:, None],
+        cache=cache_g, cache_positions=s["lengths"], use_flash_decode=False)
+    h_xla, cache_x = decoder_forward(
+        CFG, s["params"], next_tok, dmask, s["lengths"][:, None],
+        cache=cache_x, cache_positions=s["lengths"], use_flash_decode="xla")
+    tol = 5e-3 if quant else 2e-4
+    np.testing.assert_allclose(np.asarray(h_xla), np.asarray(h_gen),
+                               rtol=tol, atol=tol)
+    # the written cache rows must agree at each sample's write position
+    # (int8 rows may differ by 1 LSB: the two paths quantize the same values
+    # through different op orders)
+    for b, pos in enumerate(np.asarray(s["lengths"])):
+        for key in ("k", "v"):
+            got = np.asarray(cache_x[key][:, b, :, pos]).astype(np.float32)
+            want = np.asarray(cache_g[key][:, b, :, pos]).astype(np.float32)
+            if quant:
+                assert np.abs(got - want).max() <= 1, key
+            else:
+                np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
 def test_lora_zero_init_is_identity(setup):
     s = setup
     lcfg = LoraConfig(rank=4, targets=("wq", "wv", "w_down"))
