@@ -145,6 +145,14 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
     bk = next(b for b in range(bk0, 0, -group) if half % b == 0)
     if block_n is None:
         block_n = max(128, _TILE_BYTES_BUDGET // bk // 128 * 128)
+        if M > 64:
+            # prefill-sized x (r5: the kernel now also serves serving-bucket
+            # prefills, M ≤ 1024): the (M, bn) f32 accumulator and the two
+            # (M, bk) x tiles join the VMEM budget — cap bn so the
+            # accumulator stays ≤ ~2.5 MB. At 13B this path replaces XLA's
+            # per-layer bf16 weight materialization (~0.6 GB/layer transient
+            # liveness), which is what OOMed the serving engine's admission.
+            block_n = max(128, min(block_n, 2_500_000 // (4 * M) // 128 * 128))
     elif block_n < 128:
         raise ValueError(f"block_n must be >= 128, got {block_n}")
     # largest multiple of 128 ≤ block_n dividing N (exists once the search
@@ -208,8 +216,11 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
 
 
 def int4_matmul_usable(x_shape, packed_shape, scales_shape,
-                       max_rows: int = 64) -> bool:
-    """Kernel gate: TPU backend, decode-sized M, MXU/VPU-friendly tiles."""
+                       max_rows: int = 1024) -> bool:
+    """Kernel gate: TPU backend, decode- or serving-prefill-sized M (≤1024 —
+    beyond that the (M, bn) f32 accumulator starves bn below useful tiles
+    and the big static-engine prefills amortize XLA's unpack anyway),
+    MXU/VPU-friendly tiles."""
     if jax.default_backend() != "tpu":
         return False
     if len(x_shape) != 2 or len(packed_shape) != 2:

@@ -33,6 +33,16 @@ def test_kernel_matches_unpack_oracle():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_prefill_sized_m():
+    """M=256 (serving-bucket prefill, r5): the default block_n shrinks to
+    bound the (M, bn) f32 accumulator; numerics unchanged."""
+    x, qt = _case(M=256, K=512, N=512, seed=2)
+    ref = x @ _dequant_int4(qt, jnp.float32)
+    out = int4_matmul(x, qt["q4"], qt["s"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
 def test_kernel_multiple_n_and_k_tiles():
     x, qt = _case(M=2, K=1024, N=1024, group=128, seed=1)
     ref = x @ _dequant_int4(qt, jnp.float32)
@@ -53,7 +63,9 @@ def test_usability_gate(monkeypatch):
     assert not int4_matmul_usable((4, 512), (256, 256), (4, 256))  # cpu
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert int4_matmul_usable((4, 512), (256, 256), (4, 256))
-    assert not int4_matmul_usable((128, 512), (256, 256), (4, 256))  # prefill M
+    assert int4_matmul_usable((128, 512), (256, 256), (4, 256))  # serving prefill M
+    assert int4_matmul_usable((1024, 512), (256, 256), (4, 256))  # bucket cap
+    assert not int4_matmul_usable((4096, 512), (256, 256), (4, 256))  # static prefill M
     assert not int4_matmul_usable((4, 512), (256, 250), (4, 250))  # ragged N
     assert not int4_matmul_usable((4, 512), (256, 256), (8, 256))  # group 64 < 128
 
