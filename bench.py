@@ -724,10 +724,15 @@ def bench_serving(jax, tok):
 
     # --- serving engine over the same requests ---
     pfx_kw = dict(prefix_buckets=(1024,)) if use_prefix else {}
+    # 13B: admission waves of 2 — the suffix-prefill's wave-local cache
+    # (prefix front + suffix, int8) is n × 0.66 GB of transient HBM next to
+    # ~12.8 GB of resident weights+pool+prefix; n=4 waves peaked past 15.75
+    # (measured r5: the post-decode flush concat was the allocation that
+    # tripped)
     scfg = ServingConfig(
         num_slots=SLOTS, max_new_tokens=NEW_TOKENS,
         prompt_buckets=(256,) if use_prefix else (seq_len,),
-        admit_batch=B, sync_every=4,
+        admit_batch=2 if scale == "13b" else B, sync_every=4,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         kv_int8=kv_int8, **pfx_kw,
     )
@@ -845,16 +850,18 @@ def bench_serving(jax, tok):
     def time_prefill(key, iters=8):
         seq, _ = embed_jit(params, batches[0])
         L, nb, pb = key  # pb = prefix bucket (0: wave shares no prefix)
-        seqs = seq[:, :L]
+        seqs = seq[:nb, :L]  # admission waves may be smaller than the batch
         lengths = jnp.asarray(np.asarray(batches[0]["seq_lengths"])[:nb])
         slots = jnp.full((nb,), engine._scratch, jnp.int32)
         temps = jnp.zeros((nb,), jnp.float32)
         rng = jax.random.PRNGKey(2)
         if pb:
-            tree, pl, _b = engine._prefix_store[pid]
-            prefix = jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(
-                    x[:, None], (x.shape[0], nb) + x.shape[1:]), tree)
+            tree, pl = engine._prefix_store[pid][:2]
+            # (L, 1, ...) leaves exactly like the engine's shared-prefix
+            # admission — the kernel broadcasts in-jit; a pre-broadcast
+            # (L, nb, ...) here would be a DIFFERENT jit signature and the
+            # recompile would land inside the timed loop
+            prefix = jax.tree_util.tree_map(lambda x: x[:, None], tree)
             plens = jnp.full((nb,), pl, jnp.int32)
 
         def call(cache):

@@ -213,6 +213,13 @@ def _prefill_suffix_kernel(llm_cfg, scfg, dtype, use_flash, params, cache,
     n, L, _ = seqs.shape
     Pb = prefix["k"].shape[3]
     Cb = Pb + L
+    if prefix["k"].shape[1] == 1 and n > 1:
+        # shared-prefix wave (see _admit_wave): one registered block serves
+        # every row — broadcast in-jit instead of shipping n eager copies
+        prefix = {
+            k: jnp.broadcast_to(v, v.shape[:1] + (n,) + v.shape[2:])
+            for k, v in prefix.items()
+        }
     # the prefix block IS the front of the local cache; pad the position
     # axis (3 for k/v AND scales) out to Cb for the suffix writes
     local = {
@@ -815,15 +822,28 @@ class ContinuousBatchingEngine:
         self.stats["prefill_waves"][key] = self.stats["prefill_waves"].get(key, 0) + 1
         prefix, plens = None, np.zeros((nb,), np.int32)
         if prefix_bucket:
-            # per-row prefix KV gather: stack the wave's registered blocks
-            # (padding rows reuse row 0's block with prefix length 0 — its
-            # values are overwritten by or sit past the row's cur_len)
-            trees = [self._prefix_store[r[6]][0] for r in wave]
             plens = np.array([self._prefix_store[r[6]][1] for r in wave]
                              + [0] * (nb - n), np.int32)
-            trees += [trees[0]] * (nb - n)
-            prefix = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs, axis=1), *trees)
+            pids = {r[6] for r in wave}
+            if len(pids) == 1:
+                # the COMMON ICL case: every wave row shares one registered
+                # exemplar block. Pass it once, leaf shape (L, 1, Hkv, Pb,
+                # hd) — the kernel broadcasts it across rows in-jit. The
+                # per-row stack below is nb× the block's bytes as an EAGER
+                # device array (1.7 GB at 13B, nb=4) and was the first of
+                # the allocations that pushed 13B admission past HBM.
+                prefix = jax.tree_util.tree_map(
+                    lambda x: x[:, None],
+                    self._prefix_store[next(iter(pids))][0])
+            else:
+                # per-row prefix KV gather: stack the wave's registered
+                # blocks (padding rows reuse row 0's block with prefix
+                # length 0 — its values are overwritten by or sit past the
+                # row's cur_len)
+                trees = [self._prefix_store[r[6]][0] for r in wave]
+                trees += [trees[0]] * (nb - n)
+                prefix = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs, axis=1), *trees)
         lora_ids = jnp.asarray(aids) if self._n_adapters else None
         if self.cfg.chunk_len:
             first_toks = self._admit_chunked(
@@ -891,6 +911,12 @@ class ContinuousBatchingEngine:
         C = self.cfg.chunk_len
         Pb = prefix["k"].shape[3] if prefix is not None else 0
         Lloc = Pb + L
+        if prefix is not None and prefix["k"].shape[1] == 1 and nb > 1:
+            # shared-prefix wave: one registered block for every row
+            prefix = {
+                k: jnp.broadcast_to(v, v.shape[:1] + (nb,) + v.shape[2:])
+                for k, v in prefix.items()
+            }
         if prefix is not None:
             local = {
                 k: jnp.pad(v, [(0, 0)] * 3 + [(0, Lloc - Pb)]
