@@ -729,10 +729,12 @@ def bench_serving(jax, tok):
     # ~12.8 GB of resident weights+pool+prefix; n=4 waves peaked past 15.75
     # (measured r5: the post-decode flush concat was the allocation that
     # tripped)
+    admit = 2 if scale == "13b" else int(
+        os.environ.get("BENCH_SERVING_ADMIT", str(B)))
     scfg = ServingConfig(
         num_slots=SLOTS, max_new_tokens=NEW_TOKENS,
         prompt_buckets=(256,) if use_prefix else (seq_len,),
-        admit_batch=2 if scale == "13b" else B, sync_every=4,
+        admit_batch=admit, sync_every=4,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         kv_int8=kv_int8, **pfx_kw,
     )
@@ -850,8 +852,12 @@ def bench_serving(jax, tok):
     def time_prefill(key, iters=8):
         seq, _ = embed_jit(params, batches[0])
         L, nb, pb = key  # pb = prefix bucket (0: wave shares no prefix)
-        seqs = seq[:nb, :L]  # admission waves may be smaller than the batch
-        lengths = jnp.asarray(np.asarray(batches[0]["seq_lengths"])[:nb])
+        # admission waves may be smaller OR larger than the embed batch —
+        # tile to nb rows either way
+        reps = -(-nb // seq.shape[0])
+        seqs = jnp.concatenate([seq] * reps)[:nb, :L]
+        lengths = jnp.asarray(
+            np.tile(np.asarray(batches[0]["seq_lengths"]), reps)[:nb])
         slots = jnp.full((nb,), engine._scratch, jnp.int32)
         temps = jnp.zeros((nb,), jnp.float32)
         rng = jax.random.PRNGKey(2)
