@@ -100,7 +100,25 @@ def _model_phase(mh, rank: int, nproc: int, outdir: str) -> None:
         k: jax.make_array_from_process_local_data(dp0(v), v[rank:rank + 1])
         for k, v in full.items()
     }
-    g_state2, g_metrics = jax.jit(step_fn)(g_state, g_frozen, g_batch)
+    def _coord_barrier(name: str, timeout_ms: int = 600_000) -> None:
+        """Barrier on the COORDINATION SERVICE (no device collectives).
+
+        The global programs below execute gloo collectives whose context
+        init has a hard 30 s key-exchange deadline; if one worker hits the
+        persistent compile cache while the other compiles salmonn from
+        scratch (minutes on this 1-core box), the faster worker's gloo init
+        times out before the slower one arrives. Compile first (lower().
+        compile() runs no collectives), meet here, then execute in
+        lockstep."""
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+    step_exe = jax.jit(step_fn).lower(g_state, g_frozen, g_batch).compile()
+    _coord_barrier("model_step_compiled")
+    g_state2, g_metrics = step_exe(g_state, g_frozen, g_batch)
     dist_loss = float(g_metrics["loss"])  # fully-replicated scalar
     assert abs(dist_loss - ref_loss) < 1e-4, (dist_loss, ref_loss)
 
@@ -127,8 +145,11 @@ def _model_phase(mh, rank: int, nproc: int, outdir: str) -> None:
         k: jax.make_array_from_process_local_data(dp0(v), v[rank:rank + 1])
         for k, v in gen_full.items()
     }
-    g_toks = jax.jit(
-        lambda p, bb: salmonn_generate(cfg, gen, p, bb))(g_params, g_gen_batch)
+    gen_exe = jax.jit(
+        lambda p, bb: salmonn_generate(cfg, gen, p, bb)
+    ).lower(g_params, g_gen_batch).compile()
+    _coord_barrier("model_gen_compiled")
+    g_toks = gen_exe(g_params, g_gen_batch)
     # each host owns exactly its dp shard of the output tokens
     local_rows = []
     for shard in g_toks.addressable_shards:
